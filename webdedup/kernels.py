@@ -1,0 +1,247 @@
+"""Pure-numpy hashing / signature kernels — no Spark imports.
+
+These are the vectorized re-expressions of the reference's C++ inner loops
+(reference = joachimwolff/minHashNearestNeighbors at /root/reference):
+
+* ``wang32``           — Thomas Wang 32-bit integer mix, the only hash family in
+                         the reference (``computation/hash.h:129-140``).
+* ``hash_ks``          — seeded variant ``wang32(key * seed)``
+                         (``computation/hash.h:168-170``).
+* ``minhash_signature``— per-row MinHash: ``sig[j] = argmin_f wang32((f+1)*(j+1))``
+                         storing the arg-min *feature id*, scalar first-seen
+                         tie-break (``computation/inverseIndex.cpp:243-273``).
+* ``fold_bands``       — the reference's "shingle" signature compression /
+                         LSH banding: chained ``wang32(sig[i*s+j]+1, prev+1)``
+                         (``computation/inverseIndex.cpp:275-303``).
+* ``simhash64``        — 64-bit SimHash fingerprint (second fingerprint family
+                         per the north rule; not in the reference).
+* ``token_ids`` / ``ngram_ids`` — text shingling into hashed k-gram sets.
+* ``jaccard``          — exact Jaccard over sorted id arrays (verify stage,
+                         plays the role of the reference's exact re-rank
+                         ``computation/nearestNeighbors.cpp:122-190``).
+* ``rolling_hash`` / ``winnow`` — Rabin fingerprints + winnowing for the
+                         exact-substring duplicate pass (north-rule extra).
+
+All uint32 arithmetic relies on numpy's silent modular wraparound, which
+matches C++ unsigned semantics bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+U32 = np.uint32
+U64 = np.uint64
+MAX_U32 = np.uint32(0xFFFFFFFF)  # MAX_VALUE sentinel (typeDefinitionsBasic.h:24)
+
+
+def wang32(key: np.ndarray) -> np.ndarray:
+    """Thomas Wang 32-bit mix; bit-parity with hash.h:129-140 (uint32 wrap)."""
+    key = np.asarray(key, dtype=U32)
+    key = (~key + (key << U32(15))).astype(U32)
+    key = key ^ (key >> U32(12))
+    key = (key + (key << U32(2))).astype(U32)
+    key = key ^ (key >> U32(4))
+    key = (key * U32(2057)).astype(U32)
+    key = key ^ (key >> U32(16))
+    return key
+
+
+def hash_ks(key: np.ndarray, seed) -> np.ndarray:
+    """Seeded hash ``wang32(key * seed)`` — hash.h:168-170 (uint32 product wrap)."""
+    key = np.asarray(key, dtype=U32)
+    seed = np.asarray(seed, dtype=U32)
+    return wang32((key * seed).astype(U32))
+
+
+def minhash_signature(features: np.ndarray, num_hashes: int) -> np.ndarray:
+    """MinHash signature of one row (set of feature ids).
+
+    ``sig[j] = features[argmin_i wang32((features[i]+1) * (j+1))]`` — stores the
+    arg-min feature id, NOT the min hash value, exactly like the scalar
+    reference path (inverseIndex.cpp:252-265; strict ``<`` ⇒ first-seen wins
+    ties, which argmin also does).
+    """
+    f = np.asarray(features, dtype=U32)
+    if f.size == 0:
+        return np.full(num_hashes, MAX_U32, dtype=U32)
+    seeds = np.arange(1, num_hashes + 1, dtype=U32)
+    # (nnz, H) hash matrix: wang32((f+1) * seed), all uint32 wraparound.
+    h = wang32(((f[:, None] + U32(1)) * seeds[None, :]).astype(U32))
+    return f[np.argmin(h, axis=0)]
+
+
+def minhash_signatures(rows: list, num_hashes: int) -> np.ndarray:
+    """Batch of MinHash signatures → (n_rows, num_hashes) uint32."""
+    out = np.empty((len(rows), num_hashes), dtype=U32)
+    seeds = np.arange(1, num_hashes + 1, dtype=U32)
+    for i, row in enumerate(rows):
+        f = np.asarray(row, dtype=U32)
+        if f.size == 0:
+            out[i] = MAX_U32
+            continue
+        h = wang32(((f[:, None] + U32(1)) * seeds[None, :]).astype(U32))
+        out[i] = f[np.argmin(h, axis=0)]
+    return out
+
+
+def fold_bands(sigs: np.ndarray, rows_per_band: int) -> np.ndarray:
+    """Fold signatures into band hashes by the reference's chained shingle.
+
+    ``band[i] = chain over j in 0..r-1 of wang32((sig[i*r+j]+1) * (prev+1))``
+    with ``prev`` initialised to ``sig[i*r]`` — inverseIndex.cpp:284-291.
+    Input (n, H) with H divisible by rows_per_band; output (n, H//r) uint32.
+    Two rows collide in band i iff (w.h.p.) their r signature slots all match —
+    this IS classic LSH banding with b bands of r rows.
+    """
+    sigs = np.asarray(sigs, dtype=U32)
+    n, h = sigs.shape
+    r = int(rows_per_band)
+    if h % r != 0:
+        raise ValueError(f"signature length {h} not divisible by rows_per_band {r}")
+    b = h // r
+    blocks = sigs.reshape(n, b, r)
+    acc = blocks[:, :, 0].astype(U32)
+    for j in range(1, r):
+        acc = wang32(((blocks[:, :, j] + U32(1)) * (acc + U32(1))).astype(U32))
+    return acc
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 mix — widens uint32 token ids to well-mixed 64-bit keys."""
+    z = (np.asarray(x, dtype=U64) + U64(0x9E3779B97F4A7C15)).astype(U64)
+    z = ((z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)).astype(U64)
+    z = ((z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)).astype(U64)
+    return z ^ (z >> U64(31))
+
+
+def simhash64(token_id_rows: list) -> np.ndarray:
+    """64-bit SimHash per row from uint32 token-id arrays → (n,) uint64.
+
+    bit b of the fingerprint = sign of sum over tokens of (2*bit_b(h64)-1),
+    where h64 = splitmix64(token_id). Unweighted (presence) — matches the
+    MinHash presence-only semantics of the reference data model.
+    """
+    out = np.zeros(len(token_id_rows), dtype=U64)
+    shifts = np.arange(64, dtype=U64)
+    for i, row in enumerate(token_id_rows):
+        t = np.asarray(row, dtype=U32)
+        if t.size == 0:
+            continue
+        h = splitmix64(t)
+        bits = ((h[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = np.where(votes >= 0, U64(1), U64(0))
+        out[i] = np.bitwise_or.reduce((fp << shifts).astype(U64))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit-count of XOR between uint64 fingerprint arrays."""
+    x = np.bitwise_xor(np.asarray(a, dtype=U64), np.asarray(b, dtype=U64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & U64(1)).astype(np.int64)
+        x = x >> U64(1)
+    return cnt
+
+
+def token_ids(text: str) -> np.ndarray:
+    """Whitespace tokens → uint32 crc32 ids (deterministic, order kept)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=U32)
+    return np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=U32)
+
+
+def ngram_ids(tok_ids: np.ndarray, n: int) -> np.ndarray:
+    """Hashed word n-gram ids from a token-id sequence (chained wang32).
+
+    Distinct + sorted output = the row's shingle *set* (the "CSR row as set of
+    feature ids" of the reference data model, SURVEY.md §1). Rows shorter than
+    n fall back to the distinct token ids themselves.
+    """
+    t = np.asarray(tok_ids, dtype=U32)
+    if t.size < n:
+        return np.unique(t)
+    acc = t[: t.size - n + 1].astype(U32)
+    for j in range(1, n):
+        nxt = t[j : t.size - n + 1 + j]
+        acc = wang32(((nxt + U32(1)) * (acc + U32(1))).astype(U32))
+    return np.unique(acc)
+
+
+def shingle_text(text: str, n: int) -> np.ndarray:
+    """text → sorted distinct hashed word n-gram ids (uint32)."""
+    return ngram_ids(token_ids(text), n)
+
+
+def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint32 id arrays."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return float(inter) / float(union) if union else 1.0
+
+
+def jaccard_batch(rows_a: list, rows_b: list) -> np.ndarray:
+    """Vectorized-ish batch Jaccard over paired sorted-unique arrays."""
+    out = np.empty(len(rows_a), dtype=np.float64)
+    for i in range(len(rows_a)):
+        out[i] = jaccard_sorted(rows_a[i], rows_b[i])
+    return out
+
+
+# ----- exact-substring pass: Rabin rolling hash + winnowing (MOSS-style) -----
+
+_RABIN_BASE = U32(1000003)
+
+
+def rolling_hash(data: bytes, k: int) -> np.ndarray:
+    """uint32 polynomial Rabin hash of every k-byte window of ``data``.
+
+    Returns array of length ``len(data)-k+1`` (empty if data shorter than k).
+    Identical windows anywhere in any document produce identical hashes.
+    """
+    b = np.frombuffer(data, dtype=np.uint8).astype(U32)
+    if b.size < k:
+        return np.empty(0, dtype=U32)
+    m = b.size - k + 1
+    h = np.zeros(m, dtype=U32)
+    for j in range(k):
+        h = (h * _RABIN_BASE + b[j : j + m]).astype(U32)
+    return h
+
+
+def winnow(hashes: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003).
+
+    Selects the minimum hash in every sliding window of ``window`` k-gram
+    hashes; guarantees any shared substring of length >= window+k-1 bytes
+    contributes at least one shared fingerprint. Returns sorted distinct
+    selected hashes.
+    """
+    h = np.asarray(hashes, dtype=U32)
+    if h.size == 0:
+        return h
+    if h.size <= window:
+        return np.unique(h[np.argmin(h) : np.argmin(h) + 1])
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    # rightmost minimum per window (standard winnowing tie rule)
+    rev_arg = window - 1 - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(rev_arg + np.arange(win.shape[0]))
+    return np.unique(h[pos])
+
+
+def substring_fingerprints(text: str, k: int = 48, window: int = 32) -> np.ndarray:
+    """Winnowed Rabin fingerprints of a document's UTF-8 bytes.
+
+    Any exact shared substring of length >= window+k-1 (~79 chars at the
+    defaults) guarantees a shared fingerprint between the two documents.
+    """
+    return winnow(rolling_hash(text.encode("utf-8"), k), window)
