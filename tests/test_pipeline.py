@@ -1,0 +1,133 @@
+"""End-to-end pipeline tests on synthetic pages with planted duplicates.
+
+Ground truth for recall is the brute-force all-pairs exact Jaccard oracle
+(the same role run_test.py:73-77 plays in the reference: recall of the
+approximate path against the exact one).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup import kernels as K
+from webdedup.config import DedupConfig
+from webdedup.fixtures import extract_text, generate_pages, pages_dataframe
+from webdedup.pipeline import collect_counters, dedup
+
+CFG = DedupConfig(
+    number_of_hash_functions=128,
+    rows_per_band=4,
+    shingle_size=3,
+    jaccard_threshold=0.8,
+    max_bin_size=2000,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    pages, truth = pages_dataframe(spark, n=400, seed=42)
+    pages.persist()
+    return pages, truth
+
+
+@pytest.fixture(scope="module")
+def result(spark, pages):
+    pages_df, _ = pages
+    res = dedup(pages_df, CFG)
+    res.clusters.persist()
+    res.pairs.persist()
+    return res
+
+
+def brute_force_dup_pairs(rows, threshold, n_shingle):
+    """All (url_a, url_b) with exact Jaccard >= threshold — the oracle."""
+    sh = {r["url"]: K.shingle_text(r["text"], n_shingle) for r in rows}
+    urls = sorted(sh)
+    out = set()
+    for ua, ub in itertools.combinations(urls, 2):
+        if K.jaccard_sorted(sh[ua], sh[ub]) >= threshold:
+            out.add((min(ua, ub), max(ua, ub)))
+    return out
+
+
+def test_fixture_invariant_text_extraction():
+    ps = generate_pages(50, seed=42)
+    for r in ps.rows:
+        assert extract_text(r["html"]) == r["text"]
+
+
+def test_recall_vs_bruteforce_oracle(spark, pages, result):
+    pages_df, _ = pages
+    rows = [r.asDict() for r in pages_df.select("url", "text").collect()]
+    truth_pairs = brute_force_dup_pairs(rows, CFG.jaccard_threshold, CFG.shingle_size)
+    assert len(truth_pairs) > 30, "fixture must plant enough high-J pairs"
+
+    # cluster assignments: every truth pair must land in the same cluster
+    cl = {r["url"]: r["cluster_id"] for r in result.clusters.collect()}
+    hit = sum(1 for a, b in truth_pairs if cl[a] == cl[b])
+    recall = hit / len(truth_pairs)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99 ({hit}/{len(truth_pairs)})"
+
+
+def test_verified_pairs_precision(spark, pages, result):
+    """Every verified near pair must truly meet the Jaccard threshold."""
+    pages_df, _ = pages
+    sh = {
+        r["url"]: K.shingle_text(r["text"], CFG.shingle_size)
+        for r in pages_df.select("url", "text").collect()
+    }
+    id2url = {
+        r["doc_id"]: r["url"]
+        for r in pages_df.select(
+            "url", F.xxhash64("url").alias("doc_id")
+        ).collect()
+    }
+    checked = 0
+    for r in result.pairs.where("kind = 'near'").collect():
+        ja = K.jaccard_sorted(sh[id2url[r["a"]]], sh[id2url[r["b"]]])
+        assert ja >= CFG.jaccard_threshold - 1e-9
+        assert ja == pytest.approx(r["jaccard"])
+        checked += 1
+    assert checked > 0
+
+
+def test_exact_duplicates_share_cluster(spark, pages, result):
+    pages_df, truth = pages
+    exact = truth.where("kind = 'exact'").collect()
+    assert exact
+    cl = {r["url"]: r["cluster_id"] for r in result.clusters.collect()}
+    for r in exact:
+        assert cl[r["url_a"]] == cl[r["url_b"]]
+
+
+def test_substring_duplicates_share_cluster(spark, pages, result):
+    pages_df, truth = pages
+    subs = truth.where("kind = 'substring'").collect()
+    assert subs
+    cl = {r["url"]: r["cluster_id"] for r in result.clusters.collect()}
+    hit = sum(1 for r in subs if cl[r["url_a"]] == cl[r["url_b"]])
+    assert hit / len(subs) >= 0.99
+
+
+def test_counters(result):
+    c = collect_counters(result)
+    assert c["pages"] == 400
+    assert c["unique_texts"] < c["pages"]
+    assert c["verified_pairs"] > 0
+    assert c["clusters"] < c["pages"]
+
+
+def test_determinism(spark, pages):
+    pages_df, _ = pages
+    a = {(r["url"], r["cluster_id"]) for r in dedup(pages_df, CFG).clusters.collect()}
+    b = {(r["url"], r["cluster_id"]) for r in dedup(pages_df, CFG).clusters.collect()}
+    assert a == b
+
+
+def test_cluster_ids_are_member_min(result):
+    """cluster_id must equal the min doc_id of the component (stable labels)."""
+    rows = result.clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("m")).collect()
+    for r in rows:
+        assert r["cluster_id"] == r["m"]

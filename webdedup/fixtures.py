@@ -1,0 +1,149 @@
+"""Deterministic synthetic Common-Crawl-style pages (FIXTURES.md §1).
+
+Generates the canonical input table from BASELINE.json:input_hint —
+``(url string, warc_ts timestamp, html binary, text string, lang string)`` —
+with planted duplicate structure and a ground-truth pair table. Seed fixed,
+no external data. ``extract_text(html) == text`` holds byte-identically per
+row (the input_hint invariant).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_WORDS = None
+
+
+def _vocab(rng: np.random.RandomState, size: int = 4000) -> list:
+    consonants = "bcdfghjklmnpqrstvwz"
+    vowels = "aeiou"
+    words = set()
+    while len(words) < size:
+        n = rng.randint(2, 5)
+        w = "".join(
+            consonants[rng.randint(len(consonants))] + vowels[rng.randint(len(vowels))]
+            for _ in range(n)
+        )
+        words.add(w)
+    return sorted(words)
+
+
+BOILERPLATE = (
+    "copyright notice all rights reserved terms of service privacy policy "
+    "cookie settings subscribe to our newsletter follow us on social media"
+)
+
+
+@dataclass
+class PageSet:
+    rows: list = field(default_factory=list)       # dicts: url warc_ts html text lang
+    truth: list = field(default_factory=list)      # (url_a, url_b, kind)
+
+
+def make_html(text: str) -> bytes:
+    return ("<html><body>" + text + "</body></html>").encode("utf-8")
+
+
+def extract_text(html: bytes) -> str:
+    """Byte-identical inverse of make_html (the input_hint invariant)."""
+    s = html.decode("utf-8")
+    return s[len("<html><body>") : -len("</body></html>")]
+
+
+def generate_pages(n: int = 500, seed: int = 42) -> PageSet:
+    """Synthetic pages with planted duplicate structure (FIXTURES.md §1).
+
+    ~20% near-duplicates (token edit rates 0.01/0.05/0.15), ~5% exact
+    duplicates, ~5% exact-substring embeds, heavy-tailed cluster sizes,
+    boilerplate shingles on ~30% of pages (hot-bucket stressor).
+    """
+    rng = np.random.RandomState(seed)
+    vocab = _vocab(rng)
+    langs = np.array(["en", "de", "fr", "es"])
+    lang_p = [0.7, 0.1, 0.1, 0.1]
+    base_t = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+
+    ps = PageSet()
+    n_base = max(1, int(n * 0.70))
+    base_texts = []
+    for i in range(n_base):
+        n_words = rng.randint(50, 2000)
+        toks = [vocab[rng.randint(len(vocab))] for _ in range(n_words)]
+        text = " ".join(toks)
+        if rng.rand() < 0.30:  # hot boilerplate shingles
+            text = BOILERPLATE + " " + text + " " + BOILERPLATE
+        base_texts.append(text)
+
+    def add_row(i: int, text: str, lang: str) -> str:
+        url = f"https://site{i % 97}.example/{lang}/page{i}"
+        ts = base_t + _dt.timedelta(seconds=17 * i)
+        ps.rows.append(
+            dict(url=url, warc_ts=ts, html=make_html(text), text=text, lang=lang)
+        )
+        return url
+
+    urls = []
+    for i, text in enumerate(base_texts):
+        urls.append(add_row(i, text, str(langs[rng.choice(4, p=lang_p)])))
+
+    i = n_base
+    # near-duplicates: heavy-tailed cluster sizes 2..20
+    n_near = int(n * 0.20)
+    made = 0
+    while made < n_near:
+        src = rng.randint(n_base)
+        cluster = min(1 + int(rng.pareto(1.5)), 19, n_near - made)
+        cluster = max(cluster, 1)
+        p_edit = float(rng.choice([0.01, 0.05, 0.15]))
+        toks0 = base_texts[src].split()
+        for _ in range(cluster):
+            toks = list(toks0)
+            k = max(1, int(len(toks) * p_edit))
+            for _ in range(k):
+                op = rng.randint(3)
+                pos = rng.randint(len(toks))
+                w = vocab[rng.randint(len(vocab))]
+                if op == 0:
+                    toks[pos] = w
+                elif op == 1:
+                    toks.insert(pos, w)
+                elif len(toks) > 10:
+                    del toks[pos]
+            u = add_row(i, " ".join(toks), ps.rows[src]["lang"])
+            ps.truth.append((urls[src], u, f"near_p{p_edit}"))
+            i += 1
+            made += 1
+
+    # exact duplicates
+    for _ in range(int(n * 0.05)):
+        src = rng.randint(n_base)
+        u = add_row(i, base_texts[src], ps.rows[src]["lang"])
+        ps.truth.append((urls[src], u, "exact"))
+        i += 1
+
+    # exact-substring embeds: short base page inside a longer new page
+    for _ in range(int(n * 0.05)):
+        src = rng.randint(n_base)
+        pad_n = rng.randint(100, 400)
+        pad1 = " ".join(vocab[rng.randint(len(vocab))] for _ in range(pad_n))
+        pad2 = " ".join(vocab[rng.randint(len(vocab))] for _ in range(pad_n))
+        u = add_row(i, pad1 + " " + base_texts[src] + " " + pad2, ps.rows[src]["lang"])
+        ps.truth.append((urls[src], u, "substring"))
+        i += 1
+
+    return ps
+
+
+def pages_dataframe(spark, n: int = 500, seed: int = 42):
+    """PageSet → (pages DataFrame, truth DataFrame)."""
+    import pandas as pd
+
+    ps = generate_pages(n, seed)
+    pdf = pd.DataFrame(ps.rows)
+    tdf = pd.DataFrame(ps.truth, columns=["url_a", "url_b", "kind"])
+    pages = spark.createDataFrame(pdf[["url", "warc_ts", "html", "text", "lang"]])
+    truth = spark.createDataFrame(tdf) if len(tdf) else None
+    return pages, truth

@@ -166,10 +166,15 @@ def ngram_ids(tok_ids: np.ndarray, n: int) -> np.ndarray:
     t = np.asarray(tok_ids, dtype=U32)
     if t.size < n:
         return np.unique(t)
-    acc = t[: t.size - n + 1].astype(U32)
+    # Position-asymmetric chain: wang32(t_next XOR (acc * golden-prime)).
+    # A plain (t+1)*(acc+1) product chain (the reference's shingle fold,
+    # inverseIndex.cpp:284-291) is commutative in the first two tokens —
+    # "x y z" and "y x z" would collide — acceptable for signature folding,
+    # wrong for text shingles.
+    acc = wang32(t[: t.size - n + 1])
     for j in range(1, n):
         nxt = t[j : t.size - n + 1 + j]
-        acc = wang32(((nxt + U32(1)) * (acc + U32(1))).astype(U32))
+        acc = wang32(nxt ^ (acc * U32(0x9E3779B1)).astype(U32))
     return np.unique(acc)
 
 

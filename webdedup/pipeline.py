@@ -1,0 +1,144 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+read → exact-dup collapse → featurize (shingle/MinHash/SimHash) → LSH bands
+(salted, hot-bucket-killed) → exact Jaccard verify → [substring pass] →
+connected components → (url, doc_id, cluster_id).
+
+This is the set-oriented equivalent of the reference's fused
+``fit_kneighbors(X, X)`` self-query (nearestNeighbors_PythonInterface.cpp:
+43-56) followed by graph clustering (cluster/minHashDBSCAN.py), re-expressed
+as one Spark DAG per stage. Exact duplicates are collapsed BEFORE hashing
+and fanned back in afterwards — the same compute-once-per-unique-row
+semantics as the reference's signature store (inverseIndex.cpp:442-464,
+:571-584).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from webdedup import lsh, verify
+from webdedup.components import connected_components
+from webdedup.config import DedupConfig
+from webdedup.signatures import featurize
+from webdedup.substring import substring_pairs
+
+
+@dataclass
+class DedupResult:
+    clusters: DataFrame        # (doc_id, url?, cluster_id)
+    pairs: DataFrame           # verified (a, b, jaccard, kind)
+    counters: dict = field(default_factory=dict)
+
+
+def dedup(
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    text_col: str = "text",
+    id_col: str | None = None,
+) -> DedupResult:
+    """Run the full dedup pipeline on a pages DataFrame.
+
+    ``pages`` needs a text column; a ``url`` column (input_hint schema) is
+    carried through to the output when present. Lineage counters (pages,
+    unique texts, candidate pairs, verified dups, clusters) are computed on
+    the returned DataFrames lazily via the counters dict of callables
+    materialized by ``collect_counters``.
+    """
+    cfg = cfg or DedupConfig()
+    has_url = "url" in pages.columns
+
+    # ---- stage 0: ids + exact-duplicate collapse (compute once per unique text)
+    if id_col is not None:
+        docs = pages.select(
+            *(["url"] if has_url else []),
+            F.col(id_col).cast("long").alias("doc_id"),
+            text_col,
+        )
+    else:
+        base_cols = ["url", text_col] if has_url else [text_col]
+        id_src = "url" if has_url else text_col
+        docs = pages.select(*base_cols).withColumn(
+            "doc_id", F.xxhash64(F.col(id_src))
+        )
+    docs = docs.withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
+    docs.persist()
+    reps = (
+        docs.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_members"))
+    )
+    uniq = (
+        docs.join(reps, "fingerprint")
+        .where(F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", text_col)
+    )
+
+    # ---- stage 1: featurize unique docs (Arrow-vectorized kernels)
+    feat = featurize(uniq, cfg, text_col=text_col).select(
+        "doc_id", "shingles", "bands", "simhash", "n_shingles"
+    )
+    feat.persist()
+
+    # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks)
+    cand = lsh.candidate_pairs(feat, cfg)
+    if cfg.use_simhash:
+        cand = cand.union(lsh.simhash_candidate_pairs(feat, cfg)).dropDuplicates(["a", "b"])
+
+    # ---- stage 3: exact Jaccard verify
+    near = verify.verified_pairs(cand, feat, cfg.jaccard_threshold).withColumn(
+        "kind", F.lit("near")
+    )
+
+    # ---- stage 4: exact-substring pass (optional)
+    if cfg.use_substring_pass:
+        sub = substring_pairs(uniq, cfg, text_col=text_col).withColumn(
+            "kind", F.lit("substring")
+        )
+        all_pairs = near.unionByName(sub).dropDuplicates(["a", "b"])
+    else:
+        all_pairs = near
+
+    # ---- stage 5: fan exact duplicates back in as edges to their representative
+    exact_edges = (
+        docs.join(reps, "fingerprint")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("a"),
+            F.col("doc_id").alias("b"),
+            F.lit(1.0).alias("jaccard"),
+            F.lit("exact").alias("kind"),
+        )
+    )
+    edges = all_pairs.unionByName(exact_edges)
+    edges.persist()
+
+    # ---- stage 6: connected components → cluster ids
+    vertices = docs.select(F.col("doc_id").alias("id"))
+    labels = connected_components(vertices, edges.select("a", "b"))
+
+    out_cols = [F.col("doc_id"), F.col("cluster_id")]
+    if has_url:
+        out_cols.insert(0, F.col("url"))
+    clusters = docs.join(
+        labels.withColumnRenamed("id", "doc_id"), "doc_id"
+    ).select(*out_cols)
+
+    counters = {
+        "pages": lambda: docs.count(),
+        "unique_texts": lambda: uniq.count(),
+        "verified_pairs": lambda: edges.count(),
+        "clusters": lambda: clusters.select("cluster_id").distinct().count(),
+        "duplicate_docs": lambda: clusters.groupBy("cluster_id")
+        .count()
+        .where("count > 1")
+        .agg(F.sum("count"))
+        .collect()[0][0]
+        or 0,
+    }
+    return DedupResult(clusters=clusters, pairs=edges, counters=counters)
+
+
+def collect_counters(result: DedupResult) -> dict:
+    return {k: v() for k, v in result.counters.items()}

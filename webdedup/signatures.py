@@ -1,0 +1,116 @@
+"""Arrow/pandas-UDF featurization: text → shingles, MinHash, bands, SimHash.
+
+One vectorized UDF computes every fingerprint family in a single Python
+round-trip per Arrow batch (the columnar analogue of the reference's fused
+SSE signature loop, inverseIndex.cpp:105-167). No per-row Python at the
+DataFrame level — per input_hint.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from webdedup import kernels as K
+from webdedup.config import DedupConfig
+
+_FEATURIZE_SCHEMA = StructType(
+    [
+        StructField("shingles", ArrayType(LongType()), False),
+        StructField("bands", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+        StructField("n_shingles", IntegerType(), False),
+    ]
+)
+
+
+def make_featurize_udf(cfg: DedupConfig):
+    """pandas_udf(text) -> struct(shingles, bands, simhash, n_shingles).
+
+    shingles: sorted distinct hashed word n-gram ids (uint32 as int64) — the
+    row's feature set in reference terms (SURVEY.md §1.2).
+    bands: LSH band hashes from the MinHash signature via the reference's
+    chained fold (inverseIndex.cpp:275-303); length = cfg.num_bands.
+    simhash: 64-bit SimHash reinterpreted as signed int64.
+    The full MinHash signature itself is not retained — only band hashes are
+    ever used downstream, and dropping it keeps the shuffle narrow.
+    """
+    h = cfg.number_of_hash_functions
+    r = cfg.rows_per_band
+    n = cfg.shingle_size
+
+    @pandas_udf(_FEATURIZE_SCHEMA)
+    def featurize(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        tok_rows = [K.token_ids(t if t is not None else "") for t in texts]
+        sh_rows = [K.ngram_ids(t, n) for t in tok_rows]
+        sigs = K.minhash_signatures(sh_rows, h)
+        bands = K.fold_bands(sigs, r)
+        sims = K.simhash64(tok_rows).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "shingles": [s.astype(np.int64) for s in sh_rows],
+                "bands": list(bands.astype(np.int64)),
+                "simhash": sims,
+                "n_shingles": np.array([s.size for s in sh_rows], dtype=np.int32),
+            }
+        )
+
+    return featurize
+
+
+def featurize(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+    """Add doc_id, fingerprint, shingles, bands, simhash, n_shingles columns.
+
+    doc_id = xxhash64(url) when a url column exists (else xxhash64(text-col
+    fingerprint)) — replaces the reference's positional row index (SURVEY.md
+    §1.2). At 10^12 docs a 64-bit id has birthday collisions; production
+    would widen to the 128-bit md5 fingerprint pair — the pipeline only
+    relies on doc_id uniqueness, so the swap is localized here.
+    fingerprint = md5(text): the exact-duplicate collapse key (the Spark
+    counterpart of the reference's chained signatureId, inverseIndex.cpp:
+    442-464 — same role, different hash since byte-parity of cluster ids is
+    not observable in cluster output).
+    """
+    udf = make_featurize_udf(cfg)
+    out = df
+    if "doc_id" not in out.columns:
+        id_src = "url" if "url" in out.columns else text_col
+        out = out.withColumn("doc_id", F.xxhash64(F.col(id_src)))
+    if "fingerprint" not in out.columns:
+        out = out.withColumn("fingerprint", F.md5(F.col(text_col)))
+    return (
+        out.withColumn("_feat", udf(F.col(text_col)))
+        .select("*", "_feat.*")
+        .drop("_feat")
+    )
+
+
+_SUBSTR_SCHEMA = ArrayType(LongType())
+
+
+def make_substring_fp_udf(cfg: DedupConfig):
+    """pandas_udf(text) -> array<long> of winnowed Rabin fingerprints."""
+    k, w = cfg.substring_k, cfg.substring_window
+
+    @pandas_udf(_SUBSTR_SCHEMA)
+    def substr_fp(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [
+                K.substring_fingerprints(t if t is not None else "", k, w).astype(np.int64)
+                for t in texts
+            ]
+        )
+
+    return substr_fp

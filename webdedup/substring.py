@@ -1,0 +1,61 @@
+"""Exact-substring duplicate pass: winnowed Rabin fingerprints + verify.
+
+North-rule extra (no reference counterpart): detect pages whose text
+contains another page's text verbatim (mirror scrapes with added chrome).
+Winnowing (Schleimer et al., SIGMOD 2003) guarantees any shared run of
+>= substring_window + substring_k - 1 bytes yields a shared fingerprint, so
+candidate generation is a bucket join, never a quadratic scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from webdedup.config import DedupConfig
+from webdedup.signatures import make_substring_fp_udf
+
+
+def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+    """(a, b, jaccard=1.0) pairs where one doc's text contains the other's.
+
+    df needs (doc_id, text). Candidates: docs sharing >= min_shared winnowed
+    fingerprints AND sharing a large fraction of the shorter doc's
+    fingerprints; verify: exact `contains` on the raw text (JVM-side).
+    """
+    fp_udf = make_substring_fp_udf(cfg)
+    fps = (
+        df.select("doc_id", F.col(text_col).alias("_t"))
+        .withColumn("_fps", fp_udf("_t"))
+        .withColumn("n_fp", F.size("_fps"))
+        .where(F.col("n_fp") > 0)
+    )
+    rows = fps.select(
+        "doc_id", "n_fp", F.explode("_fps").alias("fp")
+    )
+    # kill hot fingerprints (boilerplate) — same tombstone idea as LSH buckets
+    hot = rows.groupBy("fp").agg(F.count("*").alias("c"))
+    rows = rows.join(hot.where(F.col("c") < cfg.max_bin_size).select("fp"), "fp")
+
+    l, r = rows.alias("l"), rows.alias("r")
+    shared = (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.n_fp").alias("n_a"),
+            F.col("r.n_fp").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        # the shorter doc must share most of its fingerprints to be contained
+        .where(F.col("n_shared") >= 0.8 * F.least("n_a", "n_b"))
+        .select("a", "b")
+    )
+    texts = df.select("doc_id", F.col(text_col).alias("_t"))
+    return (
+        shared.join(texts.select(F.col("doc_id").alias("a"), F.col("_t").alias("t_a")), "a")
+        .join(texts.select(F.col("doc_id").alias("b"), F.col("_t").alias("t_b")), "b")
+        .where(
+            F.contains("t_a", F.col("t_b")) | F.contains("t_b", F.col("t_a"))
+        )
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )

@@ -1,0 +1,211 @@
+"""Text-analysis operators over a documents table — all JVM-side DataFrame ops.
+
+Every function here avoids Python UDFs entirely (whole-stage codegen
+friendly): tokenization, n-gram construction, set ops, and window top-k are
+built from pyspark.sql.functions higher-order functions. These are the
+SQL-expressible faces of the dedup engine (exact-dup collapse, n-gram
+Jaccard, top-k per query = reference Q4, graph symmetrization = reference
+O3) plus the training-data text-quality extras.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+PPM = 1_000_000
+
+LANG_MARKERS = {
+    "en": ["the", "and", "for"],
+    "de": ["der", "und", "nicht"],
+    "fr": ["le", "et", "pour"],
+    "es": ["el", "y", "para"],
+}
+
+
+def _tokens(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def _ngrams(tok_col, n: int):
+    """Distinct word n-grams as strings; short docs fall back to tokens.
+
+    1-based element_at over sequence(0, L-n) mirrors the DuckDB oracle's
+    range(1, L-n+1) positions exactly.
+    """
+    L = F.size(tok_col)
+    gram = F.transform(
+        F.sequence(F.lit(0), L - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok_col, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.when(L >= n, gram).otherwise(tok_col))
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars)."""
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def exact_dup_clusters(docs: DataFrame) -> DataFrame:
+    """md5-fingerprint groups with >1 member — the exact-dup collapse key."""
+    return (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("rep_id"))
+        .where(F.col("n_members") > 1)
+    )
+
+
+def exact_dup_pairs(docs: DataFrame) -> DataFrame:
+    """(a, b) doc-id pairs with byte-identical text."""
+    fp = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
+    l, r = fp.alias("l"), fp.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.fingerprint") == F.col("r.fingerprint"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+
+
+def ngram_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, gram) exploded distinct n-gram rows + (doc_id, n_grams) sizes."""
+    g = docs.select("doc_id", _ngrams(_tokens(), n).alias("gs"))
+    return g
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_ppm: int = 100_000) -> DataFrame:
+    """(a, b, jaccard_ppm) — exact word-n-gram Jaccard over all doc pairs.
+
+    The brute-force counterpart of the LSH path (what the reference's
+    run_test.py recall harness uses sklearn exact NN for). Quadratic in
+    colliding grams — meant for oracle checks and small refits, not the
+    10^12 path (that's webdedup.pipeline).
+    """
+    g = ngram_sets(docs, n)
+    sizes = g.select("doc_id", F.size("gs").alias("n"))
+    rows = g.select("doc_id", F.explode("gs").alias("gram"))
+    l, r = rows.alias("l"), rows.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb"))
+    jac = F.lit(1_000_000.0) * F.col("n_inter") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(jac >= F.lit(min_ppm))
+        .select("a", "b", F.floor(jac).cast("long").alias("jaccard_ppm"))
+    )
+
+
+def top_similar_per_doc(docs: DataFrame, n: int = 3, k: int = 3, min_ppm: int = 10_000) -> DataFrame:
+    """Top-k most-similar docs per doc with rank() tie semantics.
+
+    Mirrors the reference's excess-factor top-k cut with tie extension
+    (inverseIndex.cpp:586-617): rank(), not row_number, so boundary ties
+    survive — exactly Q4.
+    """
+    pairs = ngram_jaccard_pairs(docs, n, min_ppm)
+    both = pairs.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("other_id"), "jaccard_ppm"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("doc_id"), F.col("a").alias("other_id"), "jaccard_ppm"
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard_ppm"), F.asc("other_id")
+    )
+    return (
+        both.withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("doc_id", "other_id", "jaccard_ppm", "rnk")
+    )
+
+
+def knn_graph_sym(docs: DataFrame, n: int = 3, min_ppm: int = 100_000) -> DataFrame:
+    """Symmetrized similarity graph — reference O3 (buildGraph symmetric=True).
+
+    Directed edge weights averaged over both directions (here equal by
+    construction, matching parsePythonToCpp.h:206-221 semantics).
+    """
+    pairs = ngram_jaccard_pairs(docs, n, min_ppm)
+    directed = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "jaccard_ppm"
+    ).unionByName(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), "jaccard_ppm")
+    )
+    return (
+        directed.groupBy("src", "dst")
+        .agg(F.floor(F.avg("jaccard_ppm")).cast("long").alias("weight_ppm"))
+    )
+
+
+def lang_scores(docs: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic with deterministic tie-break."""
+    toks = F.array_distinct(_tokens())
+    cols = [
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(m) for m in LANG_MARKERS[lg]]))
+        ).cast("long").alias(f"{lg}_hits")
+        for lg in ("en", "de", "fr", "es")
+    ]
+    out = docs.select("doc_id", *cols)
+    e, d, f_, s = [F.col(f"{lg}_hits") for lg in ("en", "de", "fr", "es")]
+    pred = (
+        F.when((e >= d) & (e >= f_) & (e >= s), "en")
+        .when((d >= f_) & (d >= s), "de")
+        .when(f_ >= s, "fr")
+        .otherwise("es")
+    )
+    return out.withColumn("lang_pred", pred)
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, ttr_ppm) — type-token ratio quality proxy."""
+    t = _tokens()
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct"),
+        F.floor(
+            F.lit(1_000_000.0) * F.size(F.array_distinct(t)) / F.size(t)
+        ).cast("long").alias("ttr_ppm"),
+    )
+
+
+def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k corpus tokens by frequency (deterministic (cnt desc, token) order)."""
+    counts = (
+        docs.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("token", "cnt", "rnk")
+    )
+
+
+def lang_distribution(docs: DataFrame) -> DataFrame:
+    return docs.groupBy("lang").agg(F.count("*").alias("n_docs"))

@@ -1,0 +1,74 @@
+"""Exact-verify stage: Jaccard over shingle sets for candidate pairs.
+
+The Spark counterpart of the reference's exact refinement round
+(NearestNeighbors::kneighbors fast=False, nearestNeighbors.cpp:122-190) with
+Jaccard in place of Euclidean/cosine (the dedup metric; cosine/euclidean
+variants live in webdedup.api).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    import numpy as np
+
+    out = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):
+        x = np.asarray(a.iloc[i], dtype=np.int64)
+        y = np.asarray(b.iloc[i], dtype=np.int64)
+        if x.size == 0 and y.size == 0:
+            out[i] = 1.0
+            continue
+        inter = np.intersect1d(x, y, assume_unique=True).size
+        union = x.size + y.size - inter
+        out[i] = inter / union if union else 1.0
+    return pd.Series(out)
+
+
+def attach_shingles(pairs: DataFrame, feat: DataFrame) -> DataFrame:
+    """Join (a, b) pairs to both sides' shingle arrays."""
+    sh = feat.select(
+        F.col("doc_id"), F.col("shingles"), F.col("n_shingles")
+    )
+    return (
+        pairs.join(
+            sh.select(
+                F.col("doc_id").alias("a"),
+                F.col("shingles").alias("sh_a"),
+                F.col("n_shingles").alias("n_a"),
+            ),
+            "a",
+        ).join(
+            sh.select(
+                F.col("doc_id").alias("b"),
+                F.col("shingles").alias("sh_b"),
+                F.col("n_shingles").alias("n_b"),
+            ),
+            "b",
+        )
+    )
+
+
+def verified_pairs(pairs: DataFrame, feat: DataFrame, threshold: float) -> DataFrame:
+    """(a, b, jaccard) for candidate pairs passing the exact-Jaccard gate.
+
+    Cheap JVM-side prefilter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    pairs whose size ratio already rules out the threshold never reach the
+    Python kernel (the analogue of the reference's precomputed dot products,
+    sparseMatrix.h:60-123).
+    """
+    w = attach_shingles(pairs, feat)
+    size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+    return (
+        w.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .where(size_bound >= F.lit(threshold))
+        .withColumn("jaccard", jaccard_udf("sh_a", "sh_b"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
