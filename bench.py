@@ -93,39 +93,89 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, n_low: int = 8, n_high: int = 32) -> dict:
-    """Same dedup job at two parallelism levels → scaling efficiency."""
+BENCH_CORPUS = os.environ.get("WEBDEDUP_BENCH_CORPUS", "/tmp/webdedup_bench/pages_500k.parquet")
+BENCH_ROWS = int(os.environ.get("WEBDEDUP_BENCH_ROWS", "500000"))
+
+
+def ensure_corpus(path: str = BENCH_CORPUS, n: int = BENCH_ROWS) -> str:
+    """Deterministic 50k-page synthetic corpus (FIXTURES.md bench size)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from webdedup.fixtures import generate_pages_fast
+    from webdedup.session import get_spark
+
+    pdf, _ = generate_pages_fast(n, seed=42)
+    spark = get_spark("webdedup-gen", cores=8)
+    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_dedup_pages(path: str, cpus: int) -> dict:
+    """End-to-end dedup of the bench corpus at a given parallelism level."""
+    import __spark_entry__ as E
+    from webdedup.pipeline import dedup
+    from webdedup.session import get_spark
+
+    spark = get_spark(f"webdedup-scale-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(path)
+    n = pages.count()
+    # JIT/codegen warmup pass on a slice, then the measured steady-state run
+    # (both parallelism legs get the identical treatment)
+    dedup(pages.limit(20000), E.CFG).clusters.count()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    res = dedup(pages, E.CFG)
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    sec = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_docs": n,
+        "sec": sec,
+        "pages_per_sec": round(n / sec, 1),
+        "n_clusters": n_clusters,
+    }
+
+
+def run_scaling(n_low: int = 4, n_high: int = 16) -> dict:
+    """Same dedup job, same input, at two parallelism levels (the sandbox
+    stand-in for N vs 4N executors) → throughput scaling efficiency."""
+    path = ensure_corpus()
     outs = {}
     for cpus in (n_low, n_high):
-        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   WEBDEDUP_DRIVER_MEM=os.environ.get("WEBDEDUP_DRIVER_MEM", "48g"))
         p = subprocess.run(
-            [sys.executable, __file__, "--single"],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=3600,
+            [sys.executable, __file__, "--dedup-pages", path],
+            env=env, capture_output=True, text=True, timeout=3600,
         )
-        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
-        outs[cpus] = json.loads(line)
-    thr_low = outs[n_low]["dedup_pages_per_sec"]
-    thr_high = outs[n_high]["dedup_pages_per_sec"]
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"scaling run cpus={cpus} failed:\n{p.stdout}\n{p.stderr[-2000:]}")
+        outs[cpus] = json.loads(lines[-1])
+    thr_low, thr_high = outs[n_low]["pages_per_sec"], outs[n_high]["pages_per_sec"]
     eff = thr_high / (thr_low * (n_high / n_low))
     return {
         "metric": "dedup_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sf": _sf_from_dir(sf_dir),
+        "n_docs": outs[n_low]["n_docs"],
         "n_low": n_low,
         "n_high": n_high,
         "pages_per_sec_low": thr_low,
         "pages_per_sec_high": thr_high,
-        "dedup_sec_low": outs[n_low]["queries"]["q_dedup_e2e"],
-        "dedup_sec_high": outs[n_high]["queries"]["q_dedup_e2e"],
+        "sec_low": outs[n_low]["sec"],
+        "sec_high": outs[n_high]["sec"],
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        print(json.dumps(run_scaling()))
+    elif "--dedup-pages" in sys.argv:
+        path = sys.argv[sys.argv.index("--dedup-pages") + 1]
+        print(json.dumps(run_dedup_pages(path, CPUS)))
     else:
         print(json.dumps(run_bench(SF_DIR, CPUS)))

@@ -183,3 +183,24 @@ def test_winnowing_guarantee():
 
 def test_winnowing_short_doc():
     assert K.substring_fingerprints("tiny", k=48, window=32).size == 0
+
+
+def test_substring_batch_matches_scalar():
+    rng = np.random.RandomState(11)
+    texts = []
+    for n in (0, 3, 47, 48, 80, 200, 1000, 5000):
+        texts.append("".join(chr(97 + rng.randint(0, 26)) for _ in range(n)))
+    texts.append(texts[4])  # duplicate doc in same batch
+    batch = K.substring_fingerprints_batch(texts, k=48, window=32)
+    for t, got in zip(texts, batch):
+        want = K.substring_fingerprints(t, k=48, window=32)
+        assert np.array_equal(got, want), f"len={len(t)}"
+
+
+def test_substring_batch_shared_fingerprint():
+    rng = np.random.RandomState(5)
+    shared = "".join(chr(97 + rng.randint(0, 26)) for _ in range(150))
+    a = "AAA" + shared + "BBB"
+    b = ("x" * 300) + shared + ("y" * 300)
+    fa, fb = K.substring_fingerprints_batch([a, b], k=48, window=32)
+    assert np.intersect1d(fa, fb).size > 0

@@ -1,0 +1,63 @@
+"""Multimodal plumbing tests (decode stubbed, Spark plumbing real)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from webdedup.multimodal import (
+    MEDIA_SCHEMA, extract_features, fake_decode, media_dedup_exact, sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG" + b"a" * 100, 10, 10, None),
+        (2, "image", "image/png", b"\x89PNG" + b"a" * 100, 10, 10, None),  # exact dup
+        (3, "image", "image/jpg", b"\xff\xd8" + b"b" * 50, 5, 5, None),
+        (4, "video", "video/mp4", b"mp4!" + b"c" * 200, None, None, 3500),
+        (5, "audio", "audio/wav", None, None, None, 1000),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_shape_and_determinism(spark, media):
+    out = extract_features(media, dim=16).collect()
+    assert len(out) == 5
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 104
+    assert len(by_id[1]["features"]) == 16
+    assert by_id[1]["features"] == by_id[2]["features"]  # identical payloads
+    assert by_id[1]["features"] != by_id[3]["features"]
+    assert by_id[5]["n_bytes"] == 0  # null payload handled
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode(b"hello world", 8)
+    b = fake_decode(b"hello world", 8)
+    assert (a == b).all()
+
+
+def test_media_dedup_exact(spark, media):
+    groups = media_dedup_exact(media.where("payload is not null")).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_members"] == 2
+    assert groups[0]["rep_id"] == 1
+
+
+def test_sample_frames_plan(spark, media):
+    frames = sample_frames(media, every_ms=1000).collect()
+    ts = sorted(r["frame_ts_ms"] for r in frames)
+    assert ts == [0, 1000, 2000, 3000]
+
+
+def test_custom_decoder_hook(spark, media):
+    calls = []
+
+    def decoder(payload):
+        import numpy as np
+
+        calls.append(1)
+        return np.ones(4, dtype=np.float32)
+
+    out = extract_features(media, decoder=decoder).collect()
+    assert all(r["features"] == [1.0, 1.0, 1.0, 1.0] for r in out)

@@ -1,0 +1,115 @@
+"""Iceberg-style snapshot catalog over partitioned Parquet.
+
+The sandbox ships no Iceberg runtime jar (SURVEY.md §7.0), so this layer
+reproduces the semantics the north rule needs — append-only snapshots,
+snapshot ids, per-snapshot file manifests, incremental reads between
+snapshots — over plain Parquet + a JSON manifest. With a real Iceberg
+catalog, ``read``/``append`` collapse to ``spark.read.format("iceberg")`` /
+``df.writeTo(...).append()`` and ``read_incremental`` to an incremental scan
+between snapshot ids; nothing downstream changes.
+
+Layout::
+
+    <root>/<table>/manifest.json
+    <root>/<table>/snap-<id>/part-*.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    id: int
+    parent: int | None
+    files: list
+    ts: float
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- manifest bookkeeping ----
+
+    def _mpath(self, table: str) -> str:
+        return os.path.join(self.root, table, "manifest.json")
+
+    def _load(self, table: str) -> dict:
+        p = self._mpath(table)
+        if not os.path.exists(p):
+            return {"snapshots": [], "current": None}
+        with open(p) as f:
+            return json.load(f)
+
+    def _store(self, table: str, m: dict) -> None:
+        p = self._mpath(table)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, p)  # atomic manifest swap = Iceberg commit semantics
+
+    def snapshots(self, table: str) -> list[Snapshot]:
+        return [Snapshot(**s) for s in self._load(table)["snapshots"]]
+
+    def current_snapshot(self, table: str) -> int | None:
+        return self._load(table)["current"]
+
+    # ---- write path ----
+
+    def append(self, table: str, df: DataFrame) -> int:
+        """Append rows as a new snapshot; returns the new snapshot id."""
+        m = self._load(table)
+        sid = (m["current"] or 0) + 1
+        snap_dir = os.path.join(self.root, table, f"snap-{sid:06d}")
+        df.write.mode("errorifexists").parquet(snap_dir)
+        files = sorted(
+            os.path.join(snap_dir, f)
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        )
+        m["snapshots"].append(
+            {"id": sid, "parent": m["current"], "files": files, "ts": time.time()}
+        )
+        m["current"] = sid
+        self._store(table, m)
+        return sid
+
+    # ---- read path ----
+
+    def _files_between(self, table: str, after: int | None, upto: int | None) -> list:
+        out = []
+        for s in self._load(table)["snapshots"]:
+            if after is not None and s["id"] <= after:
+                continue
+            if upto is not None and s["id"] > upto:
+                continue
+            out.extend(s["files"])
+        return out
+
+    def read(self, spark: SparkSession, table: str, snapshot: int | None = None) -> DataFrame:
+        """Full table contents as of ``snapshot`` (default: current)."""
+        files = self._files_between(table, None, snapshot)
+        if not files:
+            raise ValueError(f"table {table} has no data")
+        return spark.read.parquet(*files)
+
+    def read_incremental(
+        self, spark: SparkSession, table: str, after: int | None, upto: int | None = None
+    ) -> DataFrame | None:
+        """Rows appended in snapshots (after, upto] — the incremental scan."""
+        files = self._files_between(table, after, upto)
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._mpath(table))

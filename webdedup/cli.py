@@ -1,0 +1,106 @@
+"""spark-submit entry point.
+
+Batch::
+
+    spark-submit --py-files webdedup.zip -m webdedup.cli \\
+        --input  /data/pages.parquet \\
+        --output /data/dedup_out \\
+        --hashes 128 --rows-per-band 4 --jaccard 0.8
+
+Incremental (catalog root with manifest.json snapshots)::
+
+    python -m webdedup.cli --catalog /data/warehouse --table pages \\
+        --work /data/dedup_work
+
+Packaging for a cluster: ``zip -r webdedup.zip webdedup`` then pass
+``--py-files webdedup.zip``; all code is pure Python + numpy (shipped on
+executors via the UDF pickles), no native builds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from webdedup.config import DedupConfig
+
+
+def build_config(args) -> DedupConfig:
+    return DedupConfig(
+        number_of_hash_functions=args.hashes,
+        rows_per_band=args.rows_per_band,
+        shingle_size=args.shingle_size,
+        jaccard_threshold=args.jaccard,
+        max_bin_size=args.max_bin_size,
+        use_simhash=not args.no_simhash,
+        use_substring_pass=not args.no_substring,
+        target_partitions=args.partitions,
+        shuffle_partitions=args.partitions,
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="webdedup")
+    ap.add_argument("--input", help="pages parquet path (batch mode)")
+    ap.add_argument("--catalog", help="source catalog root (incremental mode)")
+    ap.add_argument("--table", default="pages")
+    ap.add_argument("--work", help="work/checkpoint dir (incremental mode)")
+    ap.add_argument("--output", help="clusters output parquet (batch mode)")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default=None)
+    ap.add_argument("--hashes", type=int, default=128)
+    ap.add_argument("--rows-per-band", type=int, default=4)
+    ap.add_argument("--shingle-size", type=int, default=3)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--max-bin-size", type=int, default=2000)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--no-simhash", action="store_true")
+    ap.add_argument("--no-substring", action="store_true")
+    ap.add_argument("--cores", default=None, help="local[N] cores (default: existing session / all)")
+    args = ap.parse_args(argv)
+
+    from webdedup.session import get_spark
+
+    cfg = build_config(args)
+    spark = get_spark("webdedup-cli", cores=args.cores, shuffle_partitions=cfg.shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.perf_counter()
+
+    if args.catalog:
+        if not args.work:
+            ap.error("--work required with --catalog")
+        from webdedup.catalog import Catalog
+        from webdedup.incremental import IncrementalDedup
+
+        inc = IncrementalDedup(spark, Catalog(args.catalog), args.work, cfg)
+        metrics = inc.process(args.table, text_col=args.text_col)
+        out = {
+            "mode": "incremental",
+            "metrics": metrics,
+            "up_to_date": metrics is None,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    else:
+        if not (args.input and args.output):
+            ap.error("--input and --output required in batch mode")
+        from webdedup.metrics import partition_lineage
+        from webdedup.pipeline import collect_counters, dedup
+
+        pages = spark.read.parquet(args.input)
+        res = dedup(pages, cfg, text_col=args.text_col, id_col=args.id_col)
+        res.clusters.write.mode("overwrite").parquet(args.output)
+        res.pairs.write.mode("overwrite").parquet(args.output + "_pairs")
+        out = {
+            "mode": "batch",
+            "counters": collect_counters(res),
+            "partition_lineage": partition_lineage(res.clusters),
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

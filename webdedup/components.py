@@ -12,7 +12,7 @@ shallow (near-clique), so typically 2-4 rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def connected_components(
@@ -31,10 +31,22 @@ def connected_components(
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("cluster_id"))
+    sym = sym.localCheckpoint(eager=True)
+    # Size the loop's shuffles to the edge count, not the session default:
+    # dup edges are tiny relative to the corpus and per-iteration latency is
+    # dominated by task scheduling when partitions are near-empty.
+    n_edges = sym.count()
+    parts = max(4, min(256, n_edges // 50_000 + 1))
+    sym = sym.repartition(parts, "dst")
+    # Only vertices touching an edge can ever change label; isolated vertices
+    # keep cluster_id = id and never enter the loop. At web scale dup-edge
+    # vertices are a small fraction of the corpus — this shrinks every
+    # iteration's shuffle from O(corpus) to O(dup docs).
+    active = sym.select(F.col("src").alias("id")).distinct()
+    labels = active.select(F.col("id"), F.col("id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # min label over incoming neighbors
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
@@ -42,6 +54,9 @@ def connected_components(
             .agg(F.min("cluster_id").alias("nbr_label"))
             .withColumnRenamed("src", "id")
         )
+        # fold the convergence check into the same action that materializes
+        # the checkpoint (observe = free metric, no second job)
+        ob = Observation(f"cc_changed_{it}")
         new_labels = (
             labels.join(nbr_min, "id", "left")
             .select(
@@ -49,19 +64,20 @@ def connected_components(
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_label", "cluster_id")
                 ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_label", "cluster_id") < F.col("cluster_id")
+                ).cast("long").alias("_chg"),
             )
+            .observe(ob, F.sum("_chg").alias("changed"))
+            .select("id", "cluster_id")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if (ob.get["changed"] or 0) == 0:
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
-    return labels
+    # fold isolated vertices back in with their own id as the label
+    return vertices.select("id").join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+    )

@@ -24,8 +24,10 @@ class DedupConfig:
     simhash_hamming_threshold: int = 3    # SimHash near-dup gate (bits)
     use_simhash: bool = True
     use_substring_pass: bool = True
-    substring_k: int = 48                 # Rabin k-gram bytes
-    substring_window: int = 32            # winnowing window (guarantee: >=79-byte match)
+    substring_k: int = 64                 # Rabin k-gram bytes
+    substring_window: int = 96            # winnowing window; guarantee: any shared
+                                          # run >= window+k-1 = 159 bytes fingerprints
+                                          # (whole-page embeds; ~3x sparser than k=48/w=32)
     min_tokens: int = 1                   # drop empty docs
     salt_buckets: int = 8                 # salting fan-out for hot (band,hash) keys
     # --- execution ---

@@ -137,6 +137,72 @@ def generate_pages(n: int = 500, seed: int = 42) -> PageSet:
     return ps
 
 
+def generate_pages_fast(n: int, seed: int = 42, avg_words: int = 400):
+    """Vectorized bench-scale corpus (numpy batch generation, ~10^6 rows/min).
+
+    Same planted structure as generate_pages (70% base / 20% near-dup /
+    5% exact / 5% substring, boilerplate on 30%) but token edits are done
+    with array ops instead of per-token Python. Returns pandas DataFrame
+    (url, warc_ts, text, lang) — html omitted at bench scale.
+    """
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    vocab = np.array(_vocab(rng))
+    V = len(vocab)
+    langs = np.array(["en", "de", "fr", "es"])
+
+    n_base = int(n * 0.70)
+    lens = rng.randint(50, 2 * avg_words, size=n_base)
+    total = int(lens.sum())
+    flat = rng.randint(0, V, size=total)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    boiler = rng.rand(n_base) < 0.30
+    texts: list = []
+    for i in range(n_base):
+        toks = vocab[flat[offs[i] : offs[i + 1]]]
+        t = " ".join(toks)
+        if boiler[i]:
+            t = BOILERPLATE + " " + t + " " + BOILERPLATE
+        texts.append(t)
+
+    truth: list = []
+    n_near, n_exact, n_sub = int(n * 0.20), int(n * 0.05), int(n * 0.05)
+    srcs = rng.randint(0, n_base, size=n_near)
+    p_edits = rng.choice([0.01, 0.05, 0.15], size=n_near)
+    for s, p in zip(srcs, p_edits):
+        toks = np.array(texts[s].split())
+        k = max(1, int(toks.size * p))
+        pos = rng.randint(0, toks.size, size=k)
+        toks[pos] = vocab[rng.randint(0, V, size=k)]
+        truth.append((s, len(texts), "near"))
+        texts.append(" ".join(toks))
+    for s in rng.randint(0, n_base, size=n_exact):
+        truth.append((int(s), len(texts), "exact"))
+        texts.append(texts[s])
+    for s in rng.randint(0, n_base, size=n_sub):
+        pad = " ".join(vocab[rng.randint(0, V, size=200)])
+        truth.append((int(s), len(texts), "substring"))
+        texts.append(pad + " " + texts[s] + " " + pad)
+
+    m = len(texts)
+    lang = langs[rng.choice(4, size=m, p=[0.7, 0.1, 0.1, 0.1])]
+    base_t = pd.Timestamp("2026-01-01", tz="UTC")
+    pdf = pd.DataFrame(
+        {
+            "url": [f"https://site{i % 97}.example/{lang[i]}/page{i}" for i in range(m)],
+            "warc_ts": base_t + pd.to_timedelta(np.arange(m) * 17, unit="s"),
+            "text": texts,
+            "lang": lang,
+        }
+    )
+    tdf = pd.DataFrame(
+        [(pdf.url[a], pdf.url[b], k) for a, b, k in truth],
+        columns=["url_a", "url_b", "kind"],
+    )
+    return pdf, tdf
+
+
 def pages_dataframe(spark, n: int = 500, seed: int = 42):
     """PageSet → (pages DataFrame, truth DataFrame)."""
     import pandas as pd

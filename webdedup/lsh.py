@@ -42,21 +42,21 @@ def bucket_sizes_salted(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def surviving_buckets(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Bucket rows annotated with size, hot buckets killed.
+    """Bucket rows with hot buckets killed.
 
     Reference parity: a bucket reaching max_bin_size is dropped ENTIRELY
     (tombstone semantics, inverseIndexStorageUnorderedMap.cpp:70-81) — filter
-    on the full count, never a limit/truncate. Size-1 buckets contribute no
-    pairs and are pruned for free (the reference's prune(), :162-187).
+    on the full count, never a limit/truncate. The hot list is tiny by
+    construction ⇒ broadcast anti-join (no second shuffle of the exploded
+    band table). Size-1 buckets need no explicit prune: they produce no
+    self-join matches (the reference's prune(), :162-187, falls out free).
     """
-    sizes = bucket_sizes_salted(bucket_rows, cfg)
-    return (
-        bucket_rows.join(sizes, ["band", "band_hash"])
-        .where(
-            (F.col("bucket_size") >= 2)
-            & (F.col("bucket_size") < F.lit(cfg.max_bin_size))
-        )
+    hot = (
+        bucket_sizes_salted(bucket_rows, cfg)
+        .where(F.col("bucket_size") >= F.lit(cfg.max_bin_size))
+        .select("band", "band_hash")
     )
+    return bucket_rows.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
 
 
 def candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -109,6 +109,16 @@ def simhash_candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     rows = feat.select("doc_id", "simhash").withColumn(
         "_b", F.explode(blocks)
     ).select("doc_id", "simhash", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
+    # same hot-bucket tombstone as the MinHash bands: an overfull 16-bit
+    # block value (degenerate fingerprint region) would quadratically blow
+    # up the self-join
+    hot = (
+        rows.groupBy("blk", "val")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= F.lit(cfg.max_bin_size))
+        .select("blk", "val")
+    )
+    rows = rows.join(F.broadcast(hot), ["blk", "val"], "left_anti")
     l, r = rows.alias("l"), rows.alias("r")
     return (
         l.join(

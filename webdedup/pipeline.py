@@ -79,7 +79,11 @@ def dedup(
     feat = featurize(uniq, cfg, text_col=text_col).select(
         "doc_id", "shingles", "bands", "simhash", "n_shingles"
     )
-    feat.persist()
+    # materialize the cache NOW: the LSH / SimHash / verify / substring
+    # branches all consume feat inside one downstream job, and concurrently
+    # scheduled stages would otherwise race past the cold cache and re-run
+    # the featurize UDF once per branch
+    feat.persist().count()
 
     # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks)
     cand = lsh.candidate_pairs(feat, cfg)

@@ -23,18 +23,26 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
     fingerprints; verify: exact `contains` on the raw text (JVM-side).
     """
     fp_udf = make_substring_fp_udf(cfg)
-    fps = (
+    rows = (
         df.select("doc_id", F.col(text_col).alias("_t"))
         .withColumn("_fps", fp_udf("_t"))
         .withColumn("n_fp", F.size("_fps"))
         .where(F.col("n_fp") > 0)
+        .select("doc_id", "n_fp", F.explode("_fps").alias("fp"))
     )
-    rows = fps.select(
-        "doc_id", "n_fp", F.explode("_fps").alias("fp")
+    # persist: the Python-UDF fingerprints feed both the hot-count agg and
+    # the self-join — without it the UDF runs once per consumer
+    rows = rows.persist()
+    # kill hot fingerprints (boilerplate) — same tombstone idea as LSH
+    # buckets. The hot list is tiny ⇒ broadcast ANTI-join; joining against
+    # the non-hot list instead would shuffle the full exploded table twice.
+    hot = (
+        rows.groupBy("fp")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= cfg.max_bin_size)
+        .select("fp")
     )
-    # kill hot fingerprints (boilerplate) — same tombstone idea as LSH buckets
-    hot = rows.groupBy("fp").agg(F.count("*").alias("c"))
-    rows = rows.join(hot.where(F.col("c") < cfg.max_bin_size).select("fp"), "fp")
+    rows = rows.join(F.broadcast(hot), "fp", "left_anti")
 
     l, r = rows.alias("l"), rows.alias("r")
     shared = (

@@ -16,12 +16,13 @@ from pyspark.sql.types import DoubleType
 
 @pandas_udf(DoubleType())
 def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact Jaccard over packed-uint32 shingle blobs (sorted unique)."""
     import numpy as np
 
     out = np.empty(len(a), dtype=np.float64)
     for i in range(len(a)):
-        x = np.asarray(a.iloc[i], dtype=np.int64)
-        y = np.asarray(b.iloc[i], dtype=np.int64)
+        x = np.frombuffer(a.iloc[i] or b"", dtype="<u4")
+        y = np.frombuffer(b.iloc[i] or b"", dtype="<u4")
         if x.size == 0 and y.size == 0:
             out[i] = 1.0
             continue
