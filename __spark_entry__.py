@@ -146,6 +146,31 @@ def q_events_daily(spark, sf_dir):
     )
 
 
+def q_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity cut) via window functions
+    — the stateful-stream-style operator expressed as a batch window chain."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    new_sess = (
+        F.when(F.col("t") - F.lag("t").over(w) > 1800, 1).otherwise(0)
+    )
+    sess = (
+        ev.withColumn("_new", new_sess)
+        .withColumn("session_no", F.sum("_new").over(w).cast("long"))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.min("t").alias("session_start"),
+            F.max("t").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return sess
+
+
 # ---- non-SQL-expressible (rows-only checks) ----
 
 def q_dedup_clusters(spark, sf_dir):
@@ -199,6 +224,41 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return ann.cosine_topk_lsh(emb, dim=dim, k=5)
 
 
+def q_substring_pairs(spark, sf_dir):
+    """Winnowed-Rabin exact-substring candidate+verify pass (north-rule extra)."""
+    from webdedup.substring import substring_pairs
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_pairs(docs, CFG)
+
+
+def q_index_stats(spark, sf_dir):
+    """B6 per-slot inverse-index stats via the MinHashNeighbors API."""
+    from webdedup.api import MinHashNeighbors
+    from webdedup.signatures import make_featurize_udf
+
+    docs = _load(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("id"), F.split("text", " ").alias("_toks")
+    ).select("id", F.transform(F.col("_toks"), lambda t: F.crc32(t)).alias("features"))
+    nn = MinHashNeighbors(number_of_hash_functions=16, max_bin_size=100000).fit(feats)
+    return nn.index_stats()
+
+
+def q_api_kneighbors(spark, sf_dir):
+    """Q1-Q9 chain through the public API on crc32 token sets."""
+    from webdedup.api import MinHashNeighbors
+
+    docs = _load(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("id"), F.split("text", " ").alias("_toks")
+    ).select("id", F.array_distinct(F.transform(F.col("_toks"), lambda t: F.crc32(t))).alias("features"))
+    nn = MinHashNeighbors(
+        n_neighbors=3, number_of_hash_functions=32, max_bin_size=100000, fast=True
+    ).fit(feats)
+    return nn.kneighbors()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wang32_parity": q_wang32_parity,
@@ -216,12 +276,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_counts": q_tpch_q1_counts,
         "orders_by_segment": q_orders_by_segment,
         "events_daily": q_events_daily,
+        "sessionization": q_sessionization,
         "near_dup_pairs": q_near_dup_pairs,
         # rows-only (no oracle): LSH / SimHash / full pipeline / ANN-LSH
         "dedup_clusters": q_dedup_clusters,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "substring_pairs": q_substring_pairs,
+        "index_stats": q_index_stats,
+        "api_kneighbors": q_api_kneighbors,
     }
 
 
@@ -361,6 +425,18 @@ GROUP BY c_mktsegment
         "events_daily": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
 FROM events GROUP BY 1, 2
+""",
+        "sessionization": """
+WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+l AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+m AS (SELECT user_id, t, CASE WHEN t - pt > 1800 THEN 1 ELSE 0 END AS _new FROM l),
+s AS (SELECT user_id, t,
+        CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      FROM m)
+SELECT user_id, session_no, min(t) AS session_start, max(t) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_no
 """,
         "near_dup_pairs": _NGRAM_CTE
         + "SELECT a, b, jaccard_ppm FROM pairs WHERE jraw >= 800000",

@@ -5,9 +5,14 @@ Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) and print ONE
 JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
 
---scaling: run the end-to-end dedup job in two subprocesses at local[8] and
-local[32] on the same input and report both throughputs + scaling efficiency
-(the sandbox stand-in for the north rule's N vs 4N executor validation).
+--scaling: run the end-to-end dedup job at local[2] and local[8] (N and 4N
+cores) on the same input, interleaved repetitions, median throughputs +
+scaling efficiency (the sandbox stand-in for the north rule's N vs 4N
+executor validation). 2->8 rather than 8->32 because this host advertises
+32 vCPUs but delivers ~16 cores of real throughput (process-scaling probe:
+1..16 procs flat, 32 procs ~2x slower each) — both legs must fit inside the
+real capacity or the measurement reflects hypervisor oversubscription, not
+the engine.
 """
 
 from __future__ import annotations
@@ -20,7 +25,8 @@ import time
 
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# default 16, not 32: the host delivers ~16 real cores (see run_scaling doc)
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -93,12 +99,12 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     return result
 
 
-BENCH_CORPUS = os.environ.get("WEBDEDUP_BENCH_CORPUS", "/tmp/webdedup_bench/pages_500k.parquet")
-BENCH_ROWS = int(os.environ.get("WEBDEDUP_BENCH_ROWS", "500000"))
+BENCH_CORPUS = os.environ.get("WEBDEDUP_BENCH_CORPUS", "/tmp/webdedup_bench/pages_200k.parquet")
+BENCH_ROWS = int(os.environ.get("WEBDEDUP_BENCH_ROWS", "200000"))
 
 
 def ensure_corpus(path: str = BENCH_CORPUS, n: int = BENCH_ROWS) -> str:
-    """Deterministic 50k-page synthetic corpus (FIXTURES.md bench size)."""
+    """Deterministic synthetic bench corpus (FIXTURES.md planted-dup structure)."""
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from webdedup.fixtures import generate_pages_fast
@@ -139,35 +145,50 @@ def run_dedup_pages(path: str, cpus: int) -> dict:
     }
 
 
-def run_scaling(n_low: int = 4, n_high: int = 16) -> dict:
+def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     """Same dedup job, same input, at two parallelism levels (the sandbox
     stand-in for N vs 4N executors) → throughput scaling efficiency."""
     path = ensure_corpus()
-    outs = {}
-    for cpus in (n_low, n_high):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   WEBDEDUP_DRIVER_MEM=os.environ.get("WEBDEDUP_DRIVER_MEM", "48g"))
-        p = subprocess.run(
-            [sys.executable, __file__, "--dedup-pages", path],
-            env=env, capture_output=True, text=True, timeout=3600,
-        )
-        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
-        if not lines:
-            raise RuntimeError(f"scaling run cpus={cpus} failed:\n{p.stdout}\n{p.stderr[-2000:]}")
-        outs[cpus] = json.loads(lines[-1])
-    thr_low, thr_high = outs[n_low]["pages_per_sec"], outs[n_high]["pages_per_sec"]
+    runs: dict = {n_low: [], n_high: []}
+    # interleave legs (L,H,L,H,...) and take medians: this host's wall-clock
+    # variance between identical runs is large, so single-shot legs lie
+    for _ in range(reps):
+        for cpus in (n_low, n_high):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                       WEBDEDUP_DRIVER_MEM=os.environ.get("WEBDEDUP_DRIVER_MEM", "48g"))
+            p = subprocess.run(
+                [sys.executable, __file__, "--dedup-pages", path],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(f"scaling run cpus={cpus} failed:\n{p.stdout}\n{p.stderr[-2000:]}")
+            runs[cpus].append(json.loads(lines[-1]))
+
+    def med(vals):
+        v = sorted(vals)
+        return v[len(v) // 2]
+
+    sec_low = med([r["sec"] for r in runs[n_low]])
+    sec_high = med([r["sec"] for r in runs[n_high]])
+    n_docs = runs[n_low][0]["n_docs"]
+    thr_low = round(n_docs / sec_low, 1)
+    thr_high = round(n_docs / sec_high, 1)
     eff = thr_high / (thr_low * (n_high / n_low))
     return {
         "metric": "dedup_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "n_docs": outs[n_low]["n_docs"],
+        "n_docs": n_docs,
         "n_low": n_low,
         "n_high": n_high,
+        "reps": reps,
         "pages_per_sec_low": thr_low,
         "pages_per_sec_high": thr_high,
-        "sec_low": outs[n_low]["sec"],
-        "sec_high": outs[n_high]["sec"],
+        "sec_low": sec_low,
+        "sec_high": sec_high,
+        "sec_low_all": [r["sec"] for r in runs[n_low]],
+        "sec_high_all": [r["sec"] for r in runs[n_high]],
     }
 
 

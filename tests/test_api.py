@@ -187,6 +187,82 @@ def test_dead_parameter_accepted():
     MinHashNeighbors(minimal_blocks_in_common=400)  # must not raise / affect anything
 
 
+def test_wta_hash_variant(spark, data):
+    """hash_algorithm=1 (WTA, reference P5): same API, different signature
+    family; near rows still retrieved."""
+    df, _, rows, _ = data
+    nn = MinHashNeighbors(
+        n_neighbors=5, number_of_hash_functions=128, hash_algorithm=1,
+        rangeK_wta=10, max_bin_size=10_000,
+    ).fit(df)
+    got = nn.kneighbors()
+    pairs = {(r["query_id"], r["cand_id"]) for r in got.collect()}
+    exact = brute_knn(rows, 5)
+    hits = tot = 0
+    for q, ns in exact.items():
+        for d, j in ns:
+            tot += 1
+            hits += (q, j) in pairs
+    assert hits / tot >= 0.8  # WTA on uniform values ~ minhash-of-hash
+
+
+def test_wta_uniform_values_is_min_hashed_key():
+    import numpy as np
+
+    from webdedup import kernels as K
+
+    f = np.array([5, 9, 100, 2**31], dtype=np.uint32)
+    sig = K.wta_signature(f, None, 6, range_k=2)
+    for i in range(6):
+        h = K.hash_ks(f + np.uint32(1), np.uint32(42 + i))
+        assert sig[i] == h.min()
+
+
+def test_lsb_filter_shrinks_index(spark, data):
+    df, _, _, _ = data
+    full = MinHashNeighbors(number_of_hash_functions=64, max_bin_size=10_000).fit(df)
+    lsb = MinHashNeighbors(
+        number_of_hash_functions=64, max_bin_size=10_000,
+        store_value_with_least_sigificant_bit=2,
+    ).fit(df)
+    n_full, n_lsb = full._index.count(), lsb._index.count()
+    assert 0 < n_lsb < n_full
+    assert lsb._index.where("hash % 4 != 3").count() == 0  # low 2 bits all 1
+
+
+def test_prune_and_weak_slot_removal(spark, data):
+    df, _, _, _ = data
+    nn = MinHashNeighbors(number_of_hash_functions=32, max_bin_size=10_000).fit(df)
+    before = nn._index.count()
+    nn.prune(n=1)
+    pruned = nn._index.count()
+    assert pruned < before
+    # all remaining buckets have >= 2 members
+    m = nn._index.groupBy("slot", "hash").count().agg(F.min("count")).collect()[0][0]
+    assert m >= 2
+    nn.remove_weak_slots(n=1)  # keep slots with >= 1 distinct value (no-op-ish)
+    assert nn._index.count() == pruned
+
+
+def test_index_stats(spark, data):
+    df, _, _, _ = data
+    nn = MinHashNeighbors(number_of_hash_functions=16, max_bin_size=10_000).fit(df)
+    stats = nn.index_stats().collect()
+    assert len(stats) == 16
+    for r in stats:
+        assert r["n_hash_values"] > 0 and r["mean_bucket_size"] >= 1.0
+
+
+def test_save_load_roundtrip(spark, data, tmp_path):
+    df, y, _, _ = data
+    nn = MinHashNeighbors(n_neighbors=3, number_of_hash_functions=64, max_bin_size=10_000).fit(df)
+    want = {(r["query_id"], r["cand_id"]) for r in nn.kneighbors().collect()}
+    nn.save(str(tmp_path / "model"))
+    nn2 = MinHashNeighbors.load(spark, str(tmp_path / "model"))
+    got = {(r["query_id"], r["cand_id"]) for r in nn2.kneighbors().collect()}
+    assert got == want
+
+
 def test_to_local_arrays_padding(spark, data):
     df, _, _, _ = data
     nn = MinHashNeighbors(n_neighbors=4, number_of_hash_functions=64, max_bin_size=10_000).fit(df)

@@ -31,13 +31,20 @@ from webdedup import kernels as K
 from webdedup.components import connected_components
 
 
-def _signature_udf(num_hashes: int, rows_per_band: int, shingle: bool):
+def _signature_udf(
+    num_hashes: int,
+    rows_per_band: int,
+    shingle: bool,
+    hash_algorithm: int = 0,
+    range_k_wta: int = 20,
+):
     """features(array<long>) → bands(array<long>).
 
     shingle=False: band table = one entry per raw signature slot (the
     reference's default shingle=0 — one hash table per hash function,
     inverseIndexStorageUnorderedMap.h:19-38).
     shingle=True: slots folded by the chained wang32 (P4).
+    hash_algorithm=1: WTA-Hash signatures (P5) instead of MinHash.
     """
 
     @pandas_udf(ArrayType(LongType()))
@@ -45,7 +52,12 @@ def _signature_udf(num_hashes: int, rows_per_band: int, shingle: bool):
         import numpy as np
 
         rows = [np.asarray(r, dtype=np.uint32) for r in features]
-        sigs = K.minhash_signatures(rows, num_hashes)
+        if hash_algorithm == 1:
+            sigs = np.vstack(
+                [K.wta_signature(r, None, num_hashes, range_k_wta) for r in rows]
+            ) if rows else np.empty((0, num_hashes), dtype=np.uint32)
+        else:
+            sigs = K.minhash_signatures(rows, num_hashes)
         if shingle:
             sigs = K.fold_bands(sigs, rows_per_band)
         return pd.Series([s.astype(np.int64) for s in sigs])
@@ -87,6 +99,9 @@ class MinHashNeighbors:
         excess_factor: int = 5,
         similarity: bool = False,
         minimal_blocks_in_common: int = 1,  # dead parameter, reference parity
+        hash_algorithm: int = 0,            # 0 = MinHash (P3), 1 = WTA-Hash (P5)
+        rangeK_wta: int = 20,
+        store_value_with_least_sigificant_bit: int = 0,  # P7 (typo = reference's)
     ):
         self.n_neighbors = n_neighbors
         self.radius = radius
@@ -97,6 +112,9 @@ class MinHashNeighbors:
         self.shingle = shingle
         self.excess_factor = excess_factor
         self.similarity = similarity
+        self.hash_algorithm = hash_algorithm
+        self.rangeK_wta = rangeK_wta
+        self.lsb_bits = store_value_with_least_sigificant_bit
         self._index: DataFrame | None = None   # (id, slot, hash) bucket rows
         self._fitted: DataFrame | None = None  # (id, features, bands)
         self._labels: DataFrame | None = None
@@ -108,18 +126,29 @@ class MinHashNeighbors:
 
     def _featurize(self, X: DataFrame) -> DataFrame:
         udf = _signature_udf(
-            self.number_of_hash_functions, self.shingle_size, bool(self.shingle)
+            self.number_of_hash_functions,
+            self.shingle_size,
+            bool(self.shingle),
+            self.hash_algorithm,
+            self.rangeK_wta,
         )
         return X.select("id", "features").withColumn("bands", udf("features"))
+
+    def _build_index(self, feat: DataFrame) -> DataFrame:
+        idx = feat.select("id", F.posexplode("bands").alias("slot", "hash"))
+        if self.lsb_bits > 0:
+            # P7 LSB subsampling: only index hash values whose low v bits are
+            # all ones (inverseIndexStorageUnorderedMap.cpp:50-56)
+            mask = (1 << self.lsb_bits) - 1
+            idx = idx.where(F.col("hash").bitwiseAND(F.lit(mask)) == F.lit(mask))
+        return idx
 
     def fit(self, X: DataFrame, y: DataFrame | None = None) -> "MinHashNeighbors":
         """X: (id long, features array<long>); y: optional (id, label)."""
         feat = self._featurize(X)
         feat.persist()
         self._fitted = feat
-        self._index = feat.select(
-            "id", F.posexplode("bands").alias("slot", "hash")
-        )
+        self._index = self._build_index(feat)
         self._labels = y
         return self
 
@@ -130,12 +159,89 @@ class MinHashNeighbors:
             return self.fit(X, y)
         feat = self._featurize(X)
         self._fitted = self._fitted.unionByName(feat)
-        self._index = self._fitted.select(
-            "id", F.posexplode("bands").alias("slot", "hash")
-        )
+        self._index = self._build_index(self._fitted)
         if y is not None and self._labels is not None:
             self._labels = self._labels.unionByName(y)
         return self
+
+    # ---------------- index maintenance (B3/B4/B6) ----------------
+
+    def prune(self, n: int = 1) -> "MinHashNeighbors":
+        """B3: delete every bucket with <= n members
+        (inverseIndexStorageUnorderedMap.cpp:162-187)."""
+        sizes = self._index.groupBy("slot", "hash").agg(F.count("*").alias("c"))
+        keep = sizes.where(F.col("c") > n).select("slot", "hash")
+        self._index = self._index.join(keep, ["slot", "hash"], "left_semi")
+        return self
+
+    def remove_weak_slots(self, n: int = 0) -> "MinHashNeighbors":
+        """B4: drop every signature slot whose table has < n distinct hash
+        values; n=0 ⇒ below mean+stddev over slots
+        (inverseIndexStorageUnorderedMap.cpp:192-236)."""
+        per_slot = self._index.groupBy("slot").agg(
+            F.countDistinct("hash").alias("nvals")
+        )
+        if n == 0:
+            stats = per_slot.agg(
+                F.avg("nvals").alias("mu"), F.stddev_pop("nvals").alias("sd")
+            ).collect()[0]
+            n = (stats["mu"] or 0) + (stats["sd"] or 0)
+        keep = per_slot.where(F.col("nvals") >= F.lit(n)).select("slot")
+        self._index = self._index.join(F.broadcast(keep), ["slot"], "left_semi")
+        return self
+
+    def index_stats(self) -> DataFrame:
+        """B6: per-slot distribution stats — (slot, n_hash_values,
+        mean_bucket_size, stddev_bucket_size), the reference's
+        distribution_of_inverse_index (minHash.py:495-499)."""
+        sizes = self._index.groupBy("slot", "hash").agg(F.count("*").alias("c"))
+        return sizes.groupBy("slot").agg(
+            F.count("*").alias("n_hash_values"),
+            F.avg("c").alias("mean_bucket_size"),
+            F.coalesce(F.stddev_pop("c"), F.lit(0.0)).alias("stddev_bucket_size"),
+        )
+
+    # ---------------- persistence (S4) ----------------
+
+    def save(self, path: str) -> None:
+        """Persist the fitted index (features + bands) and config to parquet
+        + JSON — the partial_fit-able on-disk form of the fitted model."""
+        import json
+        import os
+
+        if self._fitted is None:
+            raise RuntimeError("fit first")
+        self._fitted.write.mode("overwrite").parquet(os.path.join(path, "fitted"))
+        if self._labels is not None:
+            self._labels.write.mode("overwrite").parquet(os.path.join(path, "labels"))
+        cfg = {
+            k: getattr(self, k)
+            for k in (
+                "n_neighbors", "radius", "fast", "number_of_hash_functions",
+                "max_bin_size", "shingle_size", "shingle", "excess_factor",
+                "similarity", "hash_algorithm", "rangeK_wta", "lsb_bits",
+            )
+        }
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(cfg, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "MinHashNeighbors":
+        import json
+        import os
+
+        with open(os.path.join(path, "config.json")) as f:
+            cfg = json.load(f)
+        lsb = cfg.pop("lsb_bits")
+        obj = cls(**cfg, store_value_with_least_sigificant_bit=lsb)
+        feat = spark.read.parquet(os.path.join(path, "fitted"))
+        feat.persist()
+        obj._fitted = feat
+        obj._index = obj._build_index(feat)
+        lab = os.path.join(path, "labels")
+        if os.path.exists(lab):
+            obj._labels = spark.read.parquet(lab)
+        return obj
 
     # ---------------- query (Q1-Q9) ----------------
 
@@ -147,10 +253,15 @@ class MinHashNeighbors:
         guard with B2 tombstone semantics.
         """
         idx = self._index
-        sizes = idx.groupBy("slot", "hash").agg(F.count("*").alias("bsz"))
-        idx_ok = idx.join(
-            sizes.where(F.col("bsz") < self.max_bin_size), ["slot", "hash"]
-        ).select(F.col("id").alias("cand_id"), "slot", "hash")
+        hot = (
+            idx.groupBy("slot", "hash")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") >= self.max_bin_size)
+            .select("slot", "hash")
+        )
+        idx_ok = idx.join(F.broadcast(hot), ["slot", "hash"], "left_anti").select(
+            F.col("id").alias("cand_id"), "slot", "hash"
+        )
         q = query_feat.select(
             F.col("id").alias("query_id"), F.posexplode("bands").alias("slot", "hash")
         )
@@ -208,12 +319,23 @@ class MinHashNeighbors:
         )
 
     def kneighbors(
-        self, X: DataFrame | None = None, n_neighbors: int | None = None
+        self,
+        X: DataFrame | None = None,
+        n_neighbors: int | None = None,
+        neighbor_of_neighbor: bool = True,
     ) -> DataFrame:
         """→ (query_id, cand_id, distance, rnk) edge list.
 
         X=None queries the fitted data against itself with self-edges
         dropped (cutFirstValue semantics, parsePythonToCpp.h:110-180).
+
+        fast=False runs the reference's full chain: exact round 1 over LSH
+        candidates capped at limit_neighbors_of_neighbors=100
+        (nearestNeighbors.cpp:86-89), neighbor-of-neighbor expansion through
+        the fitted data's own round-1 edges (Q8, :229-315 — set-at-a-time
+        instead of demand-memoized), then exact round-2 re-rank to top k
+        (Q9, :326-382). Disable the expansion with
+        ``neighbor_of_neighbor=False``.
         """
         if self._fitted is None:
             raise RuntimeError("fit first")
@@ -230,7 +352,46 @@ class MinHashNeighbors:
                 .where(F.col("rnk") <= k)
                 .select("query_id", "cand_id", "distance", "rnk")
             )
-        out = self._exact_rerank(approx, qf, k)
+        limit = min(100, max(k * self.excess_factor, k))
+        round1 = self._exact_rerank(approx, qf, limit)
+        if neighbor_of_neighbor:
+            if self_query:
+                base = round1
+            else:
+                base = self._exact_rerank(
+                    self._approx_neighbors(self._fitted, limit, cut=True),
+                    self._fitted,
+                    limit,
+                )
+            hop2 = (
+                round1.select("query_id", F.col("cand_id").alias("_mid"))
+                .join(
+                    base.select(
+                        F.col("query_id").alias("_mid"), F.col("cand_id")
+                    ),
+                    "_mid",
+                )
+                .select("query_id", "cand_id")
+            )
+            cand2 = (
+                round1.select("query_id", "cand_id")
+                .unionByName(hop2)
+                .dropDuplicates(["query_id", "cand_id"])
+            )
+            if self_query:
+                # 2-hop reintroduces A→B→A self-pairs; drop BEFORE the top-k
+                # rank so self never consumes a neighbor slot
+                cand2 = cand2.where(F.col("query_id") != F.col("cand_id"))
+            out = self._exact_rerank(cand2, qf, k)
+        else:
+            w2 = Window.partitionBy("query_id").orderBy(
+                F.asc("distance"), F.asc("cand_id")
+            )
+            out = (
+                round1.withColumn("rnk", F.rank().over(w2))
+                .where(F.col("rnk") <= k)
+                .select("query_id", "cand_id", "distance", "rnk")
+            )
         return out if not self_query else out.where(F.col("query_id") != F.col("cand_id"))
 
     def radius_neighbors(self, X: DataFrame | None = None, radius: float | None = None) -> DataFrame:

@@ -123,14 +123,19 @@ class IncrementalDedup:
             )
         else:
             known = None
-        batch_reps = new.groupBy("fingerprint").agg(F.min("doc_id").alias("batch_rep"))
-        w = new.join(batch_reps, "fingerprint")
+        # narrow-column dedup bookkeeping: texts never shuffle — the rep
+        # resolution joins move (fingerprint, doc_id) only, and unique new
+        # texts are carved from the cached `new` scan by broadcast semi-join
+        nids = new.select("fingerprint", "doc_id")
+        batch_reps = nids.groupBy("fingerprint").agg(F.min("doc_id").alias("batch_rep"))
+        w = nids.join(batch_reps, "fingerprint")
         if known is not None:
             w = w.join(known, "fingerprint", "left")
         else:
             w = w.withColumn("rep_id", F.lit(None).cast("long"))
         w = w.withColumn("rep", F.coalesce("rep_id", "batch_rep"))
-        uniq_new = w.where(F.col("doc_id") == F.col("rep")).select(
+        uniq_ids = w.where(F.col("doc_id") == F.col("rep")).select("doc_id")
+        uniq_new = new.join(F.broadcast(uniq_ids), "doc_id", "left_semi").select(
             "doc_id", text_col
         )
         exact_edges = w.where(F.col("doc_id") != F.col("rep")).select(

@@ -109,6 +109,49 @@ def fold_bands(sigs: np.ndarray, rows_per_band: int) -> np.ndarray:
     return acc
 
 
+def wta_signature(
+    features: np.ndarray,
+    values: np.ndarray | None,
+    num_hashes: int,
+    range_k: int,
+    seed0: int = 42,
+) -> np.ndarray:
+    """WTA-Hash signature of one row (reference P5, inverseIndex.cpp:305-341).
+
+    Per hash function i (seed = seed0+i): hash every feature id, keep the
+    range_k smallest hashed keys, emit the key whose associated VALUE is
+    maximal (ties → smallest key, matching the reference's in-key-order scan
+    of KSizeSortedMap with strict ``>``). With uniform values this
+    degenerates to the min hashed key. Stores the hashed key, not the
+    feature id (unlike MinHash P3).
+    """
+    f = np.asarray(features, dtype=U32)
+    if f.size == 0:
+        return np.full(num_hashes, MAX_U32, dtype=U32)
+    v = (
+        np.ones(f.size, dtype=np.float32)
+        if values is None
+        else np.asarray(values, dtype=np.float32)
+    )
+    k = min(int(range_k), f.size)
+    out = np.empty(num_hashes, dtype=U32)
+    for i in range(num_hashes):
+        h = hash_ks((f + U32(1)).astype(U32), U32((seed0 + i) & 0xFFFFFFFF))
+        if k < h.size:
+            idx = np.argpartition(h, k - 1)[:k]
+        else:
+            idx = np.arange(h.size)
+        order = idx[np.argsort(h[idx], kind="stable")]  # key-ascending scan
+        best = order[0]
+        best_val = v[best]
+        for j in order[1:]:
+            if v[j] > best_val:
+                best_val = v[j]
+                best = j
+        out[i] = h[best]
+    return out
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 mix — widens uint32 token ids to well-mixed 64-bit keys."""
     z = (np.asarray(x, dtype=U64) + U64(0x9E3779B97F4A7C15)).astype(U64)

@@ -85,46 +85,68 @@ def candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     return pairs
 
 
+def _simhash_tables(t: int):
+    """Block layout + key tables for hamming <= t over 64 bits.
+
+    Manku/Jain/Das Sarma-style: split the fingerprint into nb = t+3 blocks;
+    any pair within hamming t has >= nb-t = 3 clean blocks, so keying every
+    C(nb, 3) block-triple guarantees a shared key. Triple keys are ~32 bits
+    wide, so random-collision volume is ~n²·C(nb,3)/2^32 — the naive
+    (t+1)-block scheme's 16-bit keys produce ~n²/2^16 junk pairs, which
+    stops scaling past ~10^5 docs.
+    """
+    from itertools import combinations
+
+    nb = t + 3
+    widths = [(64 // nb) + (1 if i < 64 % nb else 0) for i in range(nb)]
+    starts = [sum(widths[:i]) for i in range(nb)]
+    combos = list(combinations(range(nb), 3))
+    return widths, starts, combos
+
+
 def simhash_candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (a, b) pairs with SimHash hamming distance <= threshold.
 
-    Standard block-permutation scheme: split the 64-bit fingerprint into
-    t+1 = 4 blocks of 16 bits; any pair within hamming distance t shares at
-    least one exact block (pigeonhole). Join per block, then exact
+    Candidates from block-triple key tables (see _simhash_tables), exact
     bit_count(xor) filter JVM-side (no Python in the hot path).
     """
     t = cfg.simhash_hamming_threshold
-    nblocks = t + 1
-    width = 64 // nblocks
-    mask = (1 << width) - 1
-    blocks = F.array(
+    widths, starts, combos = _simhash_tables(t)
+
+    def block(i):
+        mask = (1 << widths[i]) - 1
+        return F.shiftright(F.col("simhash"), starts[i]).bitwiseAND(F.lit(mask))
+
+    keys = F.array(
         *[
             F.struct(
-                F.lit(i).alias("blk"),
-                F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)).alias("val"),
+                F.lit(ci).alias("tbl"),
+                (
+                    F.shiftleft(block(a), widths[b] + widths[c])
+                    + F.shiftleft(block(b), widths[c])
+                    + block(c)
+                ).alias("key"),
             )
-            for i in range(nblocks)
+            for ci, (a, b, c) in enumerate(combos)
         ]
     )
     rows = feat.select("doc_id", "simhash").withColumn(
-        "_b", F.explode(blocks)
-    ).select("doc_id", "simhash", F.col("_b.blk").alias("blk"), F.col("_b.val").alias("val"))
-    # same hot-bucket tombstone as the MinHash bands: an overfull 16-bit
-    # block value (degenerate fingerprint region) would quadratically blow
-    # up the self-join
+        "_k", F.explode(keys)
+    ).select("doc_id", "simhash", F.col("_k.tbl").alias("tbl"), F.col("_k.key").alias("key"))
+    # hot-key tombstone (degenerate fingerprints, e.g. near-empty docs)
     hot = (
-        rows.groupBy("blk", "val")
+        rows.groupBy("tbl", "key")
         .agg(F.count("*").alias("c"))
         .where(F.col("c") >= F.lit(cfg.max_bin_size))
-        .select("blk", "val")
+        .select("tbl", "key")
     )
-    rows = rows.join(F.broadcast(hot), ["blk", "val"], "left_anti")
+    rows = rows.join(F.broadcast(hot), ["tbl", "key"], "left_anti")
     l, r = rows.alias("l"), rows.alias("r")
     return (
         l.join(
             r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.val") == F.col("r.val"))
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.key") == F.col("r.key"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .where(

@@ -15,9 +15,25 @@ semantics as the reference's signature store (inverseIndex.cpp:442-464,
 
 from __future__ import annotations
 
+import os
+import time
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _profiler():
+    """WEBDEDUP_PROFILE=1 → force-materialize each stage and print timings
+    (distorts total wall time slightly; diagnosis only)."""
+    if not os.environ.get("WEBDEDUP_PROFILE"):
+        return lambda name, df: df
+    def probe(name, df):
+        t0 = time.perf_counter()
+        n = df.count()
+        print(f"[profile] {name}: {time.perf_counter()-t0:.1f}s rows={n}", flush=True)
+        return df
+    return probe
 
 from webdedup import lsh, verify
 from webdedup.components import connected_components
@@ -49,6 +65,7 @@ def dedup(
     """
     cfg = cfg or DedupConfig()
     has_url = "url" in pages.columns
+    probe = _profiler()
 
     # ---- stage 0: ids + exact-duplicate collapse (compute once per unique text)
     if id_col is not None:
@@ -65,15 +82,21 @@ def dedup(
         )
     docs = docs.withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
     docs.persist()
-    reps = (
-        docs.groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("rep_id"), F.count("*").alias("n_members"))
+    # Narrow-column exact-dup collapse: the groupBy and every join below
+    # move only (fingerprint, doc_id) — the wide text column never shuffles.
+    # uniq is carved out of the cached docs scan with a broadcast semi-join
+    # on rep ids (a few MB of longs at any realistic dup rate per partition;
+    # at 10^12 docs swap the broadcast for a bucketed semi-join).
+    ids = docs.select("fingerprint", "doc_id")
+    reps = ids.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("n_members")
     )
-    uniq = (
-        docs.join(reps, "fingerprint")
-        .where(F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", text_col)
+    rep_ids = reps.select(F.col("rep_id").alias("doc_id"))
+    uniq = docs.join(F.broadcast(rep_ids), "doc_id", "left_semi").select(
+        "doc_id", text_col
     )
+    uniq.persist()
+    probe("uniq", uniq)
 
     # ---- stage 1: featurize unique docs (Arrow-vectorized kernels)
     feat = featurize(uniq, cfg, text_col=text_col).select(
@@ -83,30 +106,37 @@ def dedup(
     # branches all consume feat inside one downstream job, and concurrently
     # scheduled stages would otherwise race past the cold cache and re-run
     # the featurize UDF once per branch
+    t0 = time.perf_counter()
     feat.persist().count()
+    if os.environ.get("WEBDEDUP_PROFILE"):
+        print(f"[profile] featurize: {time.perf_counter()-t0:.1f}s", flush=True)
 
     # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks)
     cand = lsh.candidate_pairs(feat, cfg)
+    probe("lsh_candidates", cand)
     if cfg.use_simhash:
-        cand = cand.union(lsh.simhash_candidate_pairs(feat, cfg)).dropDuplicates(["a", "b"])
+        sim = probe("simhash_candidates", lsh.simhash_candidate_pairs(feat, cfg))
+        cand = cand.union(sim).dropDuplicates(["a", "b"])
 
     # ---- stage 3: exact Jaccard verify
     near = verify.verified_pairs(cand, feat, cfg.jaccard_threshold).withColumn(
         "kind", F.lit("near")
     )
+    probe("verify", near)
 
     # ---- stage 4: exact-substring pass (optional)
     if cfg.use_substring_pass:
         sub = substring_pairs(uniq, cfg, text_col=text_col).withColumn(
             "kind", F.lit("substring")
         )
+        probe("substring", sub)
         all_pairs = near.unionByName(sub).dropDuplicates(["a", "b"])
     else:
         all_pairs = near
 
     # ---- stage 5: fan exact duplicates back in as edges to their representative
     exact_edges = (
-        docs.join(reps, "fingerprint")
+        ids.join(reps, "fingerprint")
         .where(F.col("doc_id") != F.col("rep_id"))
         .select(
             F.col("rep_id").alias("a"),
@@ -117,15 +147,21 @@ def dedup(
     )
     edges = all_pairs.unionByName(exact_edges)
     edges.persist()
+    probe("edges", edges)
 
     # ---- stage 6: connected components → cluster ids
+    t0 = time.perf_counter()
     vertices = docs.select(F.col("doc_id").alias("id"))
     labels = connected_components(vertices, edges.select("a", "b"))
+    if os.environ.get("WEBDEDUP_PROFILE"):
+        print(f"[profile] cc: {time.perf_counter()-t0:.1f}s", flush=True)
 
     out_cols = [F.col("doc_id"), F.col("cluster_id")]
     if has_url:
         out_cols.insert(0, F.col("url"))
-    clusters = docs.join(
+    # join labels to the narrow projection — never shuffle text here either
+    doc_keys = docs.select(*(["url", "doc_id"] if has_url else ["doc_id"]))
+    clusters = doc_keys.join(
         labels.withColumnRenamed("id", "doc_id"), "doc_id"
     ).select(*out_cols)
 

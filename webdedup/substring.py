@@ -58,7 +58,19 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
         .where(F.col("n_shared") >= 0.8 * F.least("n_a", "n_b"))
         .select("a", "b")
     )
-    texts = df.select("doc_id", F.col(text_col).alias("_t"))
+    # Pull only the texts that appear in a candidate pair before shuffling
+    # them into the verify joins: candidate ids are few, full texts are the
+    # widest column in the table — a broadcast semi-join keeps the two text
+    # shuffles proportional to candidates, not corpus.
+    pair_ids = (
+        shared.select(F.col("a").alias("doc_id"))
+        .union(shared.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    texts = (
+        df.select("doc_id", F.col(text_col).alias("_t"))
+        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    )
     return (
         shared.join(texts.select(F.col("doc_id").alias("a"), F.col("_t").alias("t_a")), "a")
         .join(texts.select(F.col("doc_id").alias("b"), F.col("_t").alias("t_b")), "b")

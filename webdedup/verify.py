@@ -34,9 +34,17 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def attach_shingles(pairs: DataFrame, feat: DataFrame) -> DataFrame:
     """Join (a, b) pairs to both sides' shingle arrays."""
+    # narrow feat to ids that appear in a pair first (broadcast semi-join):
+    # the two wide shingle-blob joins then shuffle only candidate rows, not
+    # the whole corpus
+    pair_ids = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
     sh = feat.select(
         F.col("doc_id"), F.col("shingles"), F.col("n_shingles")
-    )
+    ).join(F.broadcast(pair_ids), "doc_id", "left_semi")
     return (
         pairs.join(
             sh.select(
