@@ -21,6 +21,44 @@ import pytest
 from webdedup import kernels as K
 
 REF = "/root/reference/sparse_neighbors_search/computation"
+REF_EXT_DIR = "/tmp/webdedup_refext"
+
+
+def _build_reference_extension():
+    """Compile the reference's actual CPython extension from /root/reference
+    sources (nothing copied into this repo). Returns module or None."""
+    import importlib
+
+    if shutil.which("g++") is None:
+        return None
+    so = os.path.join(REF_EXT_DIR, "_nearestNeighbors.so")
+    if not os.path.exists(so):
+        os.makedirs(REF_EXT_DIR, exist_ok=True)
+        import sysconfig
+
+        srcs = [
+            f"{REF}/interface/nearestNeighbors_PythonInterface.cpp",
+            f"{REF}/nearestNeighbors.cpp",
+            f"{REF}/inverseIndex.cpp",
+            f"{REF}/inverseIndexStorageUnorderedMap.cpp",
+        ]
+        cmd = (
+            ["g++", "-shared", "-fPIC", "-fopenmp", "-O3", "-std=c++11",
+             "-funroll-loops", "-msse4.1",
+             # gcc>=12 no longer leaks unqualified ::size_t from <vector>
+             "-include", "stddef.h",
+             "-I", sysconfig.get_paths()["include"]]
+            + srcs + ["-o", so]
+        )
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            return None
+    if REF_EXT_DIR not in sys.path:
+        sys.path.insert(0, REF_EXT_DIR)
+    try:
+        return importlib.import_module("_nearestNeighbors")
+    except ImportError:
+        return None
 
 HARNESS = r"""
 #include <cstdint>
@@ -113,3 +151,152 @@ def test_minhash_argmin_semantics_vs_reference_hash(ref_binary):
     ref_sig = feats[np.argmin(vals, axis=1)]
     ours = K.minhash_signature(feats, num_hashes)
     assert ours.tolist() == ref_sig.tolist()
+
+
+# ---------------------------------------------------------------------------
+# Full-engine parity: the COMPILED reference's fit + kneighbors vs our
+# MinHashNeighbors at identical config — the north-rule dup-pair recall gate
+# measured directly against the reference implementation.
+# ---------------------------------------------------------------------------
+
+H = 20          # number_of_hash_functions (reference test config family)
+KNN = 5
+MAX_BIN = 100_000
+DIST_CUT = 0.5  # "duplicate" edge = distance below this (collisions >= H/2)
+
+
+def _clustered_rows(n=60, clusters=12, dim=5000, seed=42):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for _ in range(clusters):
+        base = np.unique(rng.randint(0, dim, size=60))
+        for _ in range(n // clusters):
+            keep = base[rng.rand(base.size) > 0.1]
+            extra = np.unique(rng.randint(0, dim, size=6))
+            rows.append(np.unique(np.concatenate([keep, extra])))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def ref_module():
+    mod = _build_reference_extension()
+    if mod is None:
+        pytest.skip("reference extension does not build/load here")
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_pairs(ref_module):
+    """Reference fast-path kneighbors edge set {(a,b): distance} (self cut)."""
+    rows = _clustered_rows()
+    indptr, indices = [0], []
+    for r in rows:
+        indices.extend(int(x) for x in r)
+        indptr.append(len(indices))
+    data = [1.0] * len(indices)
+    maxnnz = max(len(r) for r in rows)
+    # createObject arg order: nearestNeighbors_PythonInterface.cpp:60-76
+    ptr = ref_module.create_object(
+        H, 1, 4, 0, KNN, 1, MAX_BIN, H, 5, 1, 0, -1, -1.0, -1, 0, 1, 0, 0, 0.0, 0, 20
+    )  # blockSize=1, shingle=0 → signature = H raw argmin slots
+    ptr = ref_module.fit(indptr, indices, data, len(rows), maxnnz, ptr)
+    dists, ids = ref_module.kneighbors([], [], [], 0, 0, KNN, 1, 1, 0, 0, ptr)
+    ref_module.delete_object(ptr)
+    out = {}
+    for q, (drow, irow) in enumerate(zip(dists, ids)):
+        for d, j in zip(drow, irow):
+            if j >= 0 and j != q:
+                out[(min(q, int(j)), max(q, int(j)))] = float(d)
+    return rows, out
+
+
+@pytest.fixture(scope="module")
+def our_pairs(spark, ref_pairs):
+    from webdedup.api import MinHashNeighbors
+
+    rows, _ = ref_pairs
+    df = spark.createDataFrame(
+        [(i, [int(x) for x in r]) for i, r in enumerate(rows)],
+        "id long, features array<long>",
+    )
+    nn = MinHashNeighbors(
+        n_neighbors=KNN, number_of_hash_functions=H, shingle=0,
+        max_bin_size=MAX_BIN, excess_factor=5, fast=True,
+    ).fit(df)
+    got = {}
+    for r in nn.kneighbors().collect():
+        a, b = int(r["query_id"]), int(r["cand_id"])
+        got[(min(a, b), max(a, b))] = float(r["distance"])
+    return got
+
+
+def test_dup_pair_recall_vs_reference(ref_pairs, our_pairs):
+    """North-rule gate: dup-pair recall >= 0.99 vs the reference's own
+    kneighbors output at identical H/shingle/max_bin_size config."""
+    _, ref = ref_pairs
+    strong = {p for p, d in ref.items() if d <= DIST_CUT}
+    assert len(strong) > 50
+    hit = sum(1 for p in strong if p in our_pairs)
+    recall = hit / len(strong)
+    assert recall >= 0.99, f"recall {recall:.4f} ({hit}/{len(strong)})"
+
+
+def test_distances_match_reference_sse_quirk(ref_pairs, our_pairs):
+    """Distance parity, two levels:
+
+    1. Bit-exact: recomputing signatures with kernels' sse_parity=True
+       (replicating the reference SSE path's tail-drop + %MAX_VALUE quirks,
+       inverseIndex.cpp:124-143) reproduces the reference's collision counts
+       and distances EXACTLY for every shared pair.
+    2. Engine (full-row, correct semantics): distances differ from the
+       reference by at most 2 collisions — the quirk's dropped 4..7 tail
+       features; absorbed by the >= 0.99 recall gate per SURVEY.md §7.3.
+    """
+    rows, ref = ref_pairs
+    sigs = np.vstack(
+        [K.minhash_signature_sse_exact(r, H) for r in rows]
+    )
+    shared = [p for p, d in ref.items() if d <= DIST_CUT and p in our_pairs]
+    assert shared
+    for (a, b) in shared:
+        # reference collision counting skips slots valued 0 / MAX_VALUE on
+        # the QUERY side; the stored pair distance may come from either
+        # direction's query, so accept either skip set
+        wants = []
+        for q, c in ((a, b), (b, a)):
+            valid = (sigs[q] != 0) & (sigs[q] != 0xFFFFFFFF)
+            coll = int(((sigs[q] == sigs[c]) & valid).sum())
+            wants.append(1.0 - coll / H)
+        assert any(abs(ref[(a, b)] - w) < 1e-6 for w in wants), (
+            (a, b), ref[(a, b)], wants
+        )
+        # each of the 4..7 dropped tail features can win several slots, so
+        # the engine-vs-reference gap is bounded loosely; the load-bearing
+        # assertions are the bit-exact check above and the recall gate
+        assert abs(ref[(a, b)] - our_pairs[(a, b)]) <= 6.0 / H + 1e-6
+
+
+def test_cluster_partition_matches_reference(spark, ref_pairs, our_pairs):
+    """Connected components over reference dup edges == over ours (the
+    cluster-assignment parity check; CC itself is shared code so equality
+    is purely about the edge sets)."""
+    rows, ref = ref_pairs
+    from webdedup.components import connected_components
+
+    def partition(pairs):
+        verts = spark.createDataFrame([(i,) for i in range(len(rows))], "id long")
+        if pairs:
+            edges = spark.createDataFrame(
+                [(a, b) for a, b in pairs], "a long, b long"
+            )
+        else:
+            edges = spark.createDataFrame([], "a long, b long")
+        lab = connected_components(verts, edges)
+        groups = {}
+        for r in lab.collect():
+            groups.setdefault(r["cluster_id"], set()).add(r["id"])
+        return {frozenset(v) for v in groups.values()}
+
+    ref_part = partition({p for p, d in ref.items() if d <= DIST_CUT})
+    our_part = partition({p for p, d in our_pairs.items() if d <= DIST_CUT})
+    assert ref_part == our_part

@@ -265,6 +265,11 @@ class MinHashNeighbors:
         q = query_feat.select(
             F.col("id").alias("query_id"), F.posexplode("bands").alias("slot", "hash")
         )
+        # reference parity: slots whose signature value is 0 or MAX_VALUE are
+        # skipped at query time (inverseIndex.cpp:530-561 hashID guard)
+        q = q.where(
+            (F.col("hash") != 0) & (F.col("hash") != F.lit(0xFFFFFFFF))
+        )
         return (
             q.join(idx_ok, ["slot", "hash"])
             .groupBy("query_id", "cand_id")

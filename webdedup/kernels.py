@@ -62,7 +62,10 @@ def minhash_signature(features: np.ndarray, num_hashes: int) -> np.ndarray:
     ``sig[j] = features[argmin_i wang32((features[i]+1) * (j+1))]`` — stores the
     arg-min feature id, NOT the min hash value, exactly like the scalar
     reference path (inverseIndex.cpp:252-265; strict ``<`` ⇒ first-seen wins
-    ties, which argmin also does).
+    ties, which argmin also does). The reference's production SSE path
+    deviates from this in documented ways — see
+    ``minhash_signature_sse_exact`` for the bit-exact emulator; the engine
+    intentionally uses the clean scalar semantics (SURVEY.md §7.3).
     """
     f = np.asarray(features, dtype=U32)
     if f.size == 0:
@@ -71,6 +74,53 @@ def minhash_signature(features: np.ndarray, num_hashes: int) -> np.ndarray:
     # (nnz, H) hash matrix: wang32((f+1) * seed), all uint32 wraparound.
     h = wang32(((f[:, None] + U32(1)) * seeds[None, :]).astype(U32))
     return f[np.argmin(h, axis=0)]
+
+
+def minhash_signature_sse_exact(features: np.ndarray, num_hashes: int) -> np.ndarray:
+    """Bit-exact emulator of the reference's PRODUCTION signature path
+    (InverseIndex::computeSignatureSSE, inverseIndex.cpp:105-167 +
+    sseExtension.h:26-51), including its quirks:
+
+    * rows with > 4 features: loop bound ``i < size-4`` drops the last 4..7
+      features; hash keys and stored values are ``(f+1) % 0xFFFFFFFF`` (the
+      signature stores f+1, unlike the scalar path's f);
+    * per-lane argmin keeps the LAST index attaining the running minimum
+      (_mm_argmin_change_epi32 equality overwrite);
+    * the cross-lane reduction takes the SIGNED 32-bit minimum of the four
+      lane minima (_mm_min_epi32 in _mm_get_argmin) — for hash values >=
+      2^31 this inverts the order — and breaks lane ties by SIGNED maximum
+      of the stored values;
+    * rows with <= 4 features: scalar fallback over all features, storing f
+      (not f+1), first-seen strict-< argmin.
+
+    Exists for parity testing against the compiled reference; the engine
+    itself uses the clean ``minhash_signature`` semantics.
+    """
+    f = np.asarray(features, dtype=U32)
+    out = np.empty(num_hashes, dtype=U32)
+    if f.size == 0:
+        out[:] = MAX_U32
+        return out
+    if f.size <= 4:
+        keys = ((f + U32(1)) % MAX_U32).astype(U32)
+        seeds = np.arange(1, num_hashes + 1, dtype=U32)
+        h = wang32((keys[:, None] * seeds[None, :]).astype(U32))
+        return f[np.argmin(h, axis=0)]
+    m = ((f.size - 5) // 4 + 1) * 4
+    vals = ((f[:m] + U32(1)) % MAX_U32).astype(U32).reshape(-1, 4)  # rows × lanes
+    nrows = vals.shape[0]
+    for j in range(num_hashes):
+        h = wang32((vals * U32(j + 1)).astype(U32))
+        lane_min = h.min(axis=0)
+        lane_arg = np.empty(4, dtype=U32)
+        for l in range(4):
+            idx = np.nonzero(h[:, l] == lane_min[l])[0][-1]  # last attaining min
+            lane_arg[l] = vals[idx, l]
+        signed = lane_min.astype(np.int32)
+        win = signed.min()
+        cand = lane_arg[signed == win].astype(np.int32)
+        out[j] = np.uint32(np.int32(cand.max()))
+    return out
 
 
 def minhash_signatures(rows: list, num_hashes: int) -> np.ndarray:
