@@ -263,6 +263,17 @@ def test_save_load_roundtrip(spark, data, tmp_path):
     assert got == want
 
 
+def test_radius_graph_symmetric(spark, data):
+    """O4: radius graph symmetrization parallels O3."""
+    df, _, _, _ = data
+    nn = MinHashNeighbors(number_of_hash_functions=64, max_bin_size=10_000).fit(df)
+    g = nn.radius_neighbors_graph(radius=0.4, mode="distance", symmetric=True)
+    a = {(r["src"], r["dst"]): r["weight"] for r in g.collect()}
+    assert a
+    for (s, d), w in a.items():
+        assert (d, s) in a and a[(d, s)] == pytest.approx(w)
+
+
 def test_to_local_arrays_padding(spark, data):
     df, _, _, _ = data
     nn = MinHashNeighbors(n_neighbors=4, number_of_hash_functions=64, max_bin_size=10_000).fit(df)

@@ -1,0 +1,98 @@
+"""Property-based kernel tests (hypothesis) — no Spark session.
+
+These pin the probabilistic contracts the pipeline's correctness rests on,
+over randomized inputs rather than fixtures.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from webdedup import kernels as K
+
+ids = st.lists(
+    st.integers(min_value=0, max_value=2**32 - 2), min_size=0, max_size=300
+)
+
+
+@given(ids)
+@settings(max_examples=60, deadline=None)
+def test_wang32_stays_uint32_and_deterministic(xs):
+    a = K.wang32(np.array(xs, dtype=np.uint32))
+    b = K.wang32(np.array(xs, dtype=np.uint32))
+    assert (a == b).all()
+    assert a.dtype == np.uint32
+
+
+@given(ids, st.integers(min_value=1, max_value=64))
+@settings(max_examples=40, deadline=None)
+def test_minhash_signature_is_permutation_invariant(xs, h):
+    """A MinHash signature is a function of the feature SET — input order
+    must not matter (the pipeline relies on this: shingle sets are sorted
+    by construction but queries may not be)."""
+    f = np.unique(np.array(xs, dtype=np.uint32))
+    if f.size == 0:
+        return
+    rng = np.random.RandomState(0)
+    perm = f[rng.permutation(f.size)]
+    assert (K.minhash_signature(f, h) == K.minhash_signature(perm, h)).all()
+
+
+@given(ids, st.integers(min_value=1, max_value=32))
+@settings(max_examples=40, deadline=None)
+def test_minhash_slots_are_members(xs, h):
+    """Every signature slot of a non-empty row is one of the row's ids."""
+    f = np.unique(np.array(xs, dtype=np.uint32))
+    if f.size == 0:
+        return
+    sig = K.minhash_signature(f, h)
+    assert np.isin(sig, f).all()
+
+
+@given(ids)
+@settings(max_examples=40, deadline=None)
+def test_jaccard_bounds_and_identity(xs):
+    a = np.unique(np.array(xs, dtype=np.uint32))
+    assert K.jaccard_sorted(a, a) == 1.0
+    b = a[: a.size // 2]
+    j = K.jaccard_sorted(a, b)
+    assert 0.0 <= j <= 1.0
+
+
+@given(st.text(min_size=0, max_size=2000), st.integers(min_value=2, max_value=5))
+@settings(max_examples=40, deadline=None)
+def test_shingle_text_deterministic_and_sorted(t, n):
+    a = K.shingle_text(t, n)
+    b = K.shingle_text(t, n)
+    assert np.array_equal(a, b)
+    assert (np.diff(a.astype(np.int64)) > 0).all() if a.size > 1 else True
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=3000))
+@settings(max_examples=30, deadline=None)
+def test_substring_batch_always_matches_scalar(t):
+    got = K.substring_fingerprints_batch([t], k=48, window=32)[0]
+    want = K.substring_fingerprints(t, k=48, window=32)
+    assert np.array_equal(got, want)
+
+
+@given(
+    st.text(alphabet="abcdef", min_size=200, max_size=400),
+    st.text(alphabet="xyz", min_size=200, max_size=400),
+    st.text(alphabet="pqrs", min_size=200, max_size=400),
+)
+@settings(max_examples=20, deadline=None)
+def test_winnowing_detects_any_long_shared_run(shared, pre, post):
+    """Guarantee: docs sharing a run >= window+k-1 bytes share a fingerprint."""
+    a = pre + shared
+    b = shared + post
+    fa = K.substring_fingerprints(a, k=48, window=32)
+    fb = K.substring_fingerprints(b, k=48, window=32)
+    assert np.intersect1d(fa, fb).size > 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=100))
+@settings(max_examples=40, deadline=None)
+def test_simhash_self_distance_zero(xs):
+    t = np.array(xs, dtype=np.uint32)
+    fps = K.simhash64([t, t])
+    assert int(K.hamming64(fps[0:1], fps[1:2])[0]) == 0
