@@ -276,6 +276,116 @@ def test_distances_match_reference_sse_quirk(ref_pairs, our_pairs):
         assert abs(ref[(a, b)] - our_pairs[(a, b)]) <= 6.0 / H + 1e-6
 
 
+def _fit_ref(ref_module, rows, values=None, hash_algorithm=0, range_k=20,
+             fast=1, similarity=0, knn=KNN):
+    """fit + self-kneighbors through the compiled reference; returns the
+    {(a,b): distance} edge map (self-edges cut)."""
+    indptr, indices = [0], []
+    data = []
+    for i, r in enumerate(rows):
+        indices.extend(int(x) for x in r)
+        if values is None:
+            data.extend([1.0] * len(r))
+        else:
+            data.extend(float(v) for v in values[i])
+        indptr.append(len(indices))
+    maxnnz = max(len(r) for r in rows)
+    ptr = ref_module.create_object(
+        H, 1, 4, 0, knn, 1, MAX_BIN, H, 5, fast, similarity, -1, -1.0, -1,
+        hash_algorithm, 1, 0, 0, 0.0, 0, range_k,
+    )
+    ptr = ref_module.fit(indptr, indices, data, len(rows), maxnnz, ptr)
+    dists, ids = ref_module.kneighbors(
+        [], [], [], 0, 0, knn, 1, fast, similarity, 0, ptr
+    )
+    ref_module.delete_object(ptr)
+    out = {}
+    for q, (drow, irow) in enumerate(zip(dists, ids)):
+        for d, j in zip(drow, irow):
+            if j >= 0 and j != q:
+                out[(min(q, int(j)), max(q, int(j)))] = float(d)
+    return out
+
+
+def test_wta_values_end_to_end_vs_reference(spark, ref_module):
+    """WTA-Hash (hash_algorithm=1) with NON-UNIFORM feature values: compiled
+    reference fast-path kneighbors vs our API at identical config. The WTA
+    signature path is scalar in the reference (computeSignatureVectors
+    dispatch, inverseIndex.cpp:366-369 — no SSE quirks), so collision counts
+    and distances must match exactly on shared pairs, and strong-pair recall
+    must be ~1."""
+    rows = _clustered_rows(n=48, clusters=8)
+    # value = deterministic non-uniform function of the feature id: rows
+    # sharing features share values, so WTA slots collide for near rows
+    # (random per-row values would decorrelate every signature)
+    values = [((np.asarray(r) % 13) + 1).astype(float) for r in rows]
+    ref = _fit_ref(ref_module, rows, values, hash_algorithm=1, range_k=10)
+
+    from webdedup.api import MinHashNeighbors
+
+    df = spark.createDataFrame(
+        [
+            (i, [int(x) for x in r], [float(v) for v in values[i]])
+            for i, r in enumerate(rows)
+        ],
+        "id long, features array<long>, values array<double>",
+    )
+    nn = MinHashNeighbors(
+        n_neighbors=KNN, number_of_hash_functions=H, shingle=0,
+        max_bin_size=MAX_BIN, excess_factor=5, fast=True,
+        hash_algorithm=1, rangeK_wta=10,
+    ).fit(df)
+    ours = {}
+    for r in nn.kneighbors().collect():
+        a, b = int(r["query_id"]), int(r["cand_id"])
+        ours[(min(a, b), max(a, b))] = float(r["distance"])
+
+    strong = {p for p, d in ref.items() if d <= DIST_CUT}
+    assert len(strong) > 20
+    hit = sum(1 for p in strong if p in ours)
+    assert hit / len(strong) >= 0.99, f"WTA recall {hit}/{len(strong)}"
+    shared = [p for p in ref if p in ours]
+    assert shared
+    for p in shared:
+        assert abs(ref[p] - ours[p]) < 1e-6, (p, ref[p], ours[p])
+
+
+def test_exact_euclidean_rerank_vs_reference(spark, ref_module):
+    """fast=False + similarity=0: the reference re-ranks by squared euclidean
+    over (feature, value) rows and sqrt()s at output time
+    (nearestNeighbors.cpp:162-165, :357; sparseMatrix.h:231-272). Our
+    kneighbors with a values column must return the same distance VALUES for
+    every shared pair (float32 vs float64 tolerance)."""
+    rng = np.random.RandomState(17)
+    rows = _clustered_rows(n=48, clusters=8)
+    values = [rng.randint(1, 10, size=len(r)).astype(float) for r in rows]
+    ref = _fit_ref(ref_module, rows, values, fast=0, similarity=0)
+
+    from webdedup.api import MinHashNeighbors
+
+    df = spark.createDataFrame(
+        [
+            (i, [int(x) for x in r], [float(v) for v in values[i]])
+            for i, r in enumerate(rows)
+        ],
+        "id long, features array<long>, values array<double>",
+    )
+    nn = MinHashNeighbors(
+        n_neighbors=KNN, number_of_hash_functions=H, shingle=0,
+        max_bin_size=MAX_BIN, excess_factor=5, fast=False,
+    ).fit(df)
+    assert nn._resolved_metric() == "euclidean"
+    ours = {}
+    for r in nn.kneighbors().collect():
+        a, b = int(r["query_id"]), int(r["cand_id"])
+        ours[(min(a, b), max(a, b))] = float(r["distance"])
+    shared = [p for p in ref if p in ours]
+    assert len(shared) >= 20
+    for p in shared:
+        denom = max(1.0, abs(ref[p]))
+        assert abs(ref[p] - ours[p]) / denom < 1e-4, (p, ref[p], ours[p])
+
+
 def test_cluster_partition_matches_reference(spark, ref_pairs, our_pairs):
     """Connected components over reference dup edges == over ours (the
     cluster-assignment parity check; CC itself is shared code so equality

@@ -37,24 +37,35 @@ def _signature_udf(
     shingle: bool,
     hash_algorithm: int = 0,
     range_k_wta: int = 20,
+    with_values: bool = False,
 ):
-    """features(array<long>) → bands(array<long>).
+    """features(array<long>)[, values(array<double>)] → bands(array<long>).
 
     shingle=False: band table = one entry per raw signature slot (the
     reference's default shingle=0 — one hash table per hash function,
     inverseIndexStorageUnorderedMap.h:19-38).
     shingle=True: slots folded by the chained wang32 (P4).
-    hash_algorithm=1: WTA-Hash signatures (P5) instead of MinHash.
+    hash_algorithm=1: WTA-Hash signatures (P5) instead of MinHash; WTA is the
+    one signature family that reads feature VALUES (inverseIndex.cpp:319-328
+    picks the max-value key among the rangeK smallest hashed keys) — when a
+    values column is present it is threaded through here. MinHash stays
+    presence-only (inverseIndex.cpp:256), matching the reference.
     """
 
-    @pandas_udf(ArrayType(LongType()))
-    def sig(features: pd.Series) -> pd.Series:
+    def _compute(rows, val_rows):
         import numpy as np
 
-        rows = [np.asarray(r, dtype=np.uint32) for r in features]
         if hash_algorithm == 1:
             sigs = np.vstack(
-                [K.wta_signature(r, None, num_hashes, range_k_wta) for r in rows]
+                [
+                    K.wta_signature(
+                        r,
+                        None if val_rows is None else val_rows[i],
+                        num_hashes,
+                        range_k_wta,
+                    )
+                    for i, r in enumerate(rows)
+                ]
             ) if rows else np.empty((0, num_hashes), dtype=np.uint32)
         else:
             sigs = K.minhash_signatures(rows, num_hashes)
@@ -62,19 +73,76 @@ def _signature_udf(
             sigs = K.fold_bands(sigs, rows_per_band)
         return pd.Series([s.astype(np.int64) for s in sigs])
 
+    if with_values:
+
+        @pandas_udf(ArrayType(LongType()))
+        def sig_v(features: pd.Series, values: pd.Series) -> pd.Series:
+            import numpy as np
+
+            rows = [np.asarray(r, dtype=np.uint32) for r in features]
+            vals = [
+                None if v is None else np.asarray(v, dtype=np.float32)
+                for v in values
+            ]
+            return _compute(rows, vals)
+
+        return sig_v
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig(features: pd.Series) -> pd.Series:
+        import numpy as np
+
+        rows = [np.asarray(r, dtype=np.uint32) for r in features]
+        return _compute(rows, None)
+
     return sig
 
 
-@pandas_udf(DoubleType())
-def _jaccard_dist_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    import numpy as np
+def _metric_udf(metric: str):
+    """pandas_udf computing the exact pair metric (kernels.sparse_metric).
 
-    out = np.empty(len(a))
-    for i in range(len(a)):
-        out[i] = 1.0 - K.jaccard_sorted(
-            np.asarray(a.iloc[i], dtype=np.int64), np.asarray(b.iloc[i], dtype=np.int64)
-        )
-    return pd.Series(out)
+    jaccard reads id arrays only; euclidean/cosine also read value arrays
+    (reference exact refinement, sparseMatrix.h:231-316)."""
+    if metric == "jaccard":
+
+        @pandas_udf(DoubleType())
+        def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+            import numpy as np
+
+            out = np.empty(len(a))
+            for i in range(len(a)):
+                out[i] = 1.0 - K.jaccard_sorted(
+                    np.asarray(a.iloc[i], dtype=np.int64),
+                    np.asarray(b.iloc[i], dtype=np.int64),
+                )
+            return pd.Series(out)
+
+        return jac
+
+    @pandas_udf(DoubleType())
+    def met(
+        fa: pd.Series, va: pd.Series, fb: pd.Series, vb: pd.Series
+    ) -> pd.Series:
+        import numpy as np
+
+        out = np.empty(len(fa))
+        for i in range(len(fa)):
+            ia = np.asarray(fa.iloc[i], dtype=np.int64)
+            ib = np.asarray(fb.iloc[i], dtype=np.int64)
+            wa = (
+                np.ones(ia.size)
+                if va.iloc[i] is None
+                else np.asarray(va.iloc[i], dtype=np.float64)
+            )
+            wb = (
+                np.ones(ib.size)
+                if vb.iloc[i] is None
+                else np.asarray(vb.iloc[i], dtype=np.float64)
+            )
+            out[i] = K.sparse_metric(ia, wa, ib, wb, metric)
+        return pd.Series(out)
+
+    return met
 
 
 class MinHashNeighbors:
@@ -102,7 +170,30 @@ class MinHashNeighbors:
         hash_algorithm: int = 0,            # 0 = MinHash (P3), 1 = WTA-Hash (P5)
         rangeK_wta: int = 20,
         store_value_with_least_sigificant_bit: int = 0,  # P7 (typo = reference's)
+        metric: str | None = None,
     ):
+        """``metric`` selects the exact refinement metric for fast=False
+        (reference Q7/Q9, nearestNeighbors.cpp:150-190):
+
+        * ``'euclidean'`` — SQUARED euclidean over (feature, value) rows,
+          the reference's similarity=0 default (sparseMatrix.h:231-272).
+        * ``'cosine'``    — cosine similarity, what similarity=1 selects
+          (sparseMatrix.h:274-316). 'distance' outputs hold the similarity
+          score; ranking is descending.
+        * ``'jaccard'``   — 1 - Jaccard over the id sets (dedup-native).
+        * ``None`` (default) — auto: cosine if ``similarity=True``
+          (reference parity), else euclidean when the fitted data carries a
+          ``values`` column (reference parity for weighted CSR input), else
+          jaccard (presence-only dedup default; documented deviation — the
+          reference would return |A|+|B|-2|A∩B| for binary rows).
+        """
+        if shingle and number_of_hash_functions % shingle_size != 0:
+            raise ValueError(
+                "number_of_hash_functions must be divisible by shingle_size "
+                "when shingle=1 (band fold width, inverseIndex.cpp:70-79)"
+            )
+        if metric not in (None, "jaccard", "euclidean", "cosine"):
+            raise ValueError(f"unknown metric {metric!r}")
         self.n_neighbors = n_neighbors
         self.radius = radius
         self.fast = fast
@@ -115,23 +206,41 @@ class MinHashNeighbors:
         self.hash_algorithm = hash_algorithm
         self.rangeK_wta = rangeK_wta
         self.lsb_bits = store_value_with_least_sigificant_bit
+        self.metric = metric
         self._index: DataFrame | None = None   # (id, slot, hash) bucket rows
-        self._fitted: DataFrame | None = None  # (id, features, bands)
+        self._fitted: DataFrame | None = None  # (id, features[, values], bands)
         self._labels: DataFrame | None = None
+        self._has_values = False
         self._sig_len = (
             number_of_hash_functions // shingle_size if shingle else number_of_hash_functions
         )
 
+    def _resolved_metric(self) -> str:
+        """similarity=True forces cosine (nearestNeighbors.cpp:155-157);
+        otherwise the explicit metric, else euclidean for valued data
+        (reference default) / jaccard for presence-only data."""
+        if self.similarity:
+            return "cosine"
+        if self.metric is not None:
+            return self.metric
+        return "euclidean" if self._has_values else "jaccard"
+
     # ---------------- index build (B1) ----------------
 
     def _featurize(self, X: DataFrame) -> DataFrame:
+        with_values = "values" in X.columns
         udf = _signature_udf(
             self.number_of_hash_functions,
             self.shingle_size,
             bool(self.shingle),
             self.hash_algorithm,
             self.rangeK_wta,
+            with_values=with_values,
         )
+        if with_values:
+            return X.select("id", "features", "values").withColumn(
+                "bands", udf("features", "values")
+            )
         return X.select("id", "features").withColumn("bands", udf("features"))
 
     def _build_index(self, feat: DataFrame) -> DataFrame:
@@ -144,7 +253,11 @@ class MinHashNeighbors:
         return idx
 
     def fit(self, X: DataFrame, y: DataFrame | None = None) -> "MinHashNeighbors":
-        """X: (id long, features array<long>); y: optional (id, label)."""
+        """X: (id long, features array<long>[, values array<double>]);
+        y: optional (id, label). ``values`` is the reference CSR ``data``
+        array aligned with ``features`` — read by WTA signatures and the
+        euclidean/cosine exact refinement; MinHash ignores it."""
+        self._has_values = "values" in X.columns
         feat = self._featurize(X)
         feat.persist()
         self._fitted = feat
@@ -220,6 +333,7 @@ class MinHashNeighbors:
                 "n_neighbors", "radius", "fast", "number_of_hash_functions",
                 "max_bin_size", "shingle_size", "shingle", "excess_factor",
                 "similarity", "hash_algorithm", "rangeK_wta", "lsb_bits",
+                "metric",
             )
         }
         with open(os.path.join(path, "config.json"), "w") as f:
@@ -237,6 +351,7 @@ class MinHashNeighbors:
         feat = spark.read.parquet(os.path.join(path, "fitted"))
         feat.persist()
         obj._fitted = feat
+        obj._has_values = "values" in feat.columns
         obj._index = obj._build_index(feat)
         lab = os.path.join(path, "labels")
         if os.path.exists(lab):
@@ -297,8 +412,49 @@ class MinHashNeighbors:
             .where(F.col("rnk") <= k * self.excess_factor)
         )
 
+    def _rank_order(self, metric: str):
+        """cosine is a similarity (higher = closer, sorted DESC like
+        mapSortDescByValueFloat, sparseMatrix.h:313); euclidean/jaccard are
+        distances (ASC, sparseMatrix.h:269)."""
+        first = (
+            F.desc("distance") if metric == "cosine" else F.asc("distance")
+        )
+        return Window.partitionBy("query_id").orderBy(first, F.asc("cand_id"))
+
+    def _with_exact_metric(self, cand: DataFrame, query_feat: DataFrame) -> DataFrame:
+        """Attach the exact metric value as 'distance' to (query_id, cand_id)
+        pairs — the shared core of Q7/Q9 refinement and Q5 radius filtering."""
+        metric = self._resolved_metric()
+        udf = _metric_udf(metric)
+        null_vals = F.lit(None).cast("array<double>")
+        qf = query_feat.select(
+            F.col("id").alias("query_id"),
+            F.col("features").alias("f_q"),
+            (F.col("values") if "values" in query_feat.columns else null_vals).alias("v_q"),
+        )
+        cf = self._fitted.select(
+            F.col("id").alias("cand_id"),
+            F.col("features").alias("f_c"),
+            (F.col("values") if "values" in self._fitted.columns else null_vals).alias("v_c"),
+        )
+        joined = cand.select("query_id", "cand_id").join(qf, "query_id").join(cf, "cand_id")
+        if metric == "jaccard":
+            return joined.withColumn("distance", udf("f_q", "f_c"))
+        out = joined.withColumn("distance", udf("f_q", "v_q", "f_c", "v_c"))
+        if metric == "euclidean":
+            # the reference sorts by the squared value but sqrt()s at output
+            # time (nearestNeighbors.cpp:357) — user-visible distances are
+            # true euclidean; sqrt is monotone so ranking is unaffected
+            out = out.withColumn("distance", F.sqrt("distance"))
+        return out
+
     def _exact_rerank(self, cand: DataFrame, query_feat: DataFrame, k: int) -> DataFrame:
-        """Q7/Q9: exact Jaccard distance over candidates, final top-k.
+        """Q7/Q9: exact metric over candidates, final top-k.
+
+        Metric per ``_resolved_metric`` — squared euclidean / cosine over
+        (feature, value) rows exactly like the reference's refinement
+        (nearestNeighbors.cpp:150-190 → sparseMatrix.h:231-316), or Jaccard
+        for the presence-only dedup default.
 
         The reference's Q8 neighbor-of-neighbor expansion is demand-driven
         memoization; set-at-a-time the full candidate edge table already
@@ -306,18 +462,9 @@ class MinHashNeighbors:
         available via ``expand_two_hop`` (kept out of the default path: for
         Jaccard dedup it changes results only below the radius of interest).
         """
-        qf = query_feat.select(
-            F.col("id").alias("query_id"), F.col("features").alias("f_q")
-        )
-        cf = self._fitted.select(
-            F.col("id").alias("cand_id"), F.col("features").alias("f_c")
-        )
-        w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("cand_id"))
+        w = self._rank_order(self._resolved_metric())
         return (
-            cand.select("query_id", "cand_id")
-            .join(qf, "query_id")
-            .join(cf, "cand_id")
-            .withColumn("distance", _jaccard_dist_udf("f_q", "f_c"))
+            self._with_exact_metric(cand, query_feat)
             .withColumn("rnk", F.rank().over(w))
             .where(F.col("rnk") <= k)
             .select("query_id", "cand_id", "distance", "rnk")
@@ -357,7 +504,9 @@ class MinHashNeighbors:
                 .where(F.col("rnk") <= k)
                 .select("query_id", "cand_id", "distance", "rnk")
             )
-        limit = min(100, max(k * self.excess_factor, k))
+        # limit_neighbors_of_neighbors = min(100, n + excess) — note PLUS,
+        # not times (nearestNeighbors.cpp:86-89)
+        limit = min(100, k + self.excess_factor)
         round1 = self._exact_rerank(approx, qf, limit)
         if neighbor_of_neighbor:
             if self_query:
@@ -389,9 +538,7 @@ class MinHashNeighbors:
                 cand2 = cand2.where(F.col("query_id") != F.col("cand_id"))
             out = self._exact_rerank(cand2, qf, k)
         else:
-            w2 = Window.partitionBy("query_id").orderBy(
-                F.asc("distance"), F.asc("cand_id")
-            )
+            w2 = self._rank_order(self._resolved_metric())
             out = (
                 round1.withColumn("rnk", F.rank().over(w2))
                 .where(F.col("rnk") <= k)
@@ -400,7 +547,16 @@ class MinHashNeighbors:
         return out if not self_query else out.where(F.col("query_id") != F.col("cand_id"))
 
     def radius_neighbors(self, X: DataFrame | None = None, radius: float | None = None) -> DataFrame:
-        """Q5: all neighbors within a distance radius (no k cut)."""
+        """Q5: all neighbors within a distance radius (no k cut).
+
+        For distance metrics (jaccard/euclidean) keeps distance <= radius
+        (nearestNeighbors.cpp:175-180). For cosine the radius is a
+        SIMILARITY floor: keeps score >= radius — deliberate deviation from
+        the reference, whose desc-sorted `val <= pRadius → push else break`
+        loop (nearestNeighbors.cpp:172-181) drops everything for any
+        meaningful similarity radius; a floor is the semantics its callers
+        would want.
+        """
         if self._fitted is None:
             raise RuntimeError("fit first")
         r = radius if radius is not None else self.radius
@@ -411,16 +567,13 @@ class MinHashNeighbors:
             return approx.where(F.col("distance") <= r).select(
                 "query_id", "cand_id", "distance"
             )
-        qf2 = qf.select(F.col("id").alias("query_id"), F.col("features").alias("f_q"))
-        cf = self._fitted.select(
-            F.col("id").alias("cand_id"), F.col("features").alias("f_c")
+        metric = self._resolved_metric()
+        gate = (
+            F.col("distance") >= r if metric == "cosine" else F.col("distance") <= r
         )
         return (
-            approx.select("query_id", "cand_id")
-            .join(qf2, "query_id")
-            .join(cf, "cand_id")
-            .withColumn("distance", _jaccard_dist_udf("f_q", "f_c"))
-            .where(F.col("distance") <= r)
+            self._with_exact_metric(approx, qf)
+            .where(gate)
             .select("query_id", "cand_id", "distance")
         )
 
@@ -475,6 +628,19 @@ class MinHashNeighbors:
         """Q11 fused fit + self-query."""
         return self.fit(X).kneighbors(None, n_neighbors)
 
+    def fit_radius_neighbors(self, X: DataFrame, radius: float | None = None) -> DataFrame:
+        """Fused fit + radius self-query
+        (nearestNeighbors_PythonInterface.cpp:388)."""
+        return self.fit(X).radius_neighbors(None, radius)
+
+    def fit_radius_neighbors_graph(
+        self, X: DataFrame, radius: float | None = None,
+        mode: str = "distance", symmetric: bool = True,
+    ) -> DataFrame:
+        """Fused fit + radius self-graph
+        (nearestNeighbors_PythonInterface.cpp:389)."""
+        return self.fit(X).radius_neighbors_graph(None, radius, mode, symmetric)
+
     def expand_two_hop(self, edges: DataFrame, limit: int = 100) -> DataFrame:
         """Q8: neighbor-of-neighbor candidate expansion (bounded), as a
         2-hop self-join of the edge list; re-rank with _exact_rerank."""
@@ -494,14 +660,56 @@ class MinHashNeighbors:
             .drop("_r")
         )
 
-    def cluster(self, eps: float = 0.5) -> DataFrame:
-        """M3-equivalent: connected components over the radius graph at
-        distance <= eps → (id, cluster_id)."""
+    def cluster(self, eps: float = 0.5, min_samples: int = 1) -> DataFrame:
+        """M3: DBSCAN over the radius graph → (id, cluster_id).
+
+        min_samples matches sklearn DBSCAN semantics as used by the
+        reference's MinHashDBSCAN wrapper (cluster/minHashDBSCAN.py:21,47):
+        a point is CORE iff its eps-neighborhood (including itself) has
+        >= min_samples points; clusters = connected components over
+        core-core edges; BORDER points (non-core within eps of a core)
+        adopt the min cluster label among their core neighbors (sklearn's
+        assignment is scan-order-dependent — we pin the deterministic min);
+        remaining points are NOISE with cluster_id = -1.
+
+        min_samples <= 1 degenerates to pure connectivity with singletons
+        labeled by their own id (the engine's dedup-native default; sklearn
+        min_samples=1 would likewise make every point core).
+        """
         edges = self.radius_neighbors(None, radius=eps).select(
             F.col("query_id").alias("a"), F.col("cand_id").alias("b")
         )
         verts = self._fitted.select(F.col("id"))
-        return connected_components(verts, edges)
+        if min_samples <= 1:
+            return connected_components(verts, edges)
+        edges.persist()
+        # radius_neighbors self-query emits both directions of every pair
+        # (collision join + symmetric metric), so out-degree == eps-degree
+        deg = edges.groupBy("a").agg(F.count("*").alias("_deg"))
+        core = deg.where(F.col("_deg") >= min_samples - 1).select(
+            F.col("a").alias("id")
+        )
+        core.persist()
+        core_edges = (
+            edges.join(core.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(core.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        core_labels = connected_components(core, core_edges)
+        # border points: non-core touching >= 1 core → min core-neighbor label
+        border = (
+            edges.join(core.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(
+                core_labels.withColumnRenamed("id", "b"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .select(F.col("a").alias("id"), "cluster_id")
+        )
+        labeled = core_labels.unionByName(border)
+        return verts.join(labeled, "id", "left").select(
+            "id", F.coalesce("cluster_id", F.lit(-1)).alias("cluster_id")
+        )
 
     def to_local_arrays(self, edges: DataFrame, k: int):
         """O1 shaping for small results: rectangular (ids, distances) lists

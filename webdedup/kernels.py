@@ -202,6 +202,53 @@ def wta_signature(
     return out
 
 
+def sparse_metric(
+    ia: np.ndarray,
+    va: np.ndarray,
+    ib: np.ndarray,
+    vb: np.ndarray,
+    metric: str,
+) -> float:
+    """Exact metric between two sparse rows (sorted-unique ids + values).
+
+    Mirrors the reference's exact refinement kernels over (feature id, value)
+    CSR rows (sparseMatrix.h:231-316), including its clamping quirks:
+
+    * ``euclidean``: SQUARED euclidean distance ``xx - 2*xy + yy``, clamped
+      at >= 0 (sparseMatrix.h:258-260). The reference ranks by this squared
+      form and sqrt()s only at output (nearestNeighbors.cpp:357); the API
+      layer applies the same output sqrt.
+    * ``cosine``: similarity ``xy / (sqrt(xx) * sqrt(yy))``, clamped at >= 0
+      (sparseMatrix.h:300-303). Higher = closer.
+    * ``jaccard``: 1 - |A∩B|/|A∪B| over the id sets (values ignored) — the
+      dedup-native metric, no reference counterpart.
+
+    Dot products accumulate in float64; for integer-valued inputs (term
+    frequencies, binary presence) every intermediate is exactly representable,
+    so results are bit-deterministic across summation orders — this is what
+    makes the DuckDB oracle for the cosine/euclid driver queries hash-stable.
+    """
+    ia = np.asarray(ia, dtype=np.int64)
+    ib = np.asarray(ib, dtype=np.int64)
+    if metric == "jaccard":
+        return 1.0 - jaccard_sorted(ia, ib)
+    va = np.asarray(va, dtype=np.float64)
+    vb = np.asarray(vb, dtype=np.float64)
+    common, idx_a, idx_b = np.intersect1d(
+        ia, ib, assume_unique=True, return_indices=True
+    )
+    xy = float(np.dot(va[idx_a], vb[idx_b])) if common.size else 0.0
+    xx = float(np.dot(va, va))
+    yy = float(np.dot(vb, vb))
+    if metric == "euclidean":
+        return max(xx - 2.0 * xy + yy, 0.0)
+    if metric == "cosine":
+        if xx <= 0.0 or yy <= 0.0:
+            return 0.0
+        return max(xy / (np.sqrt(xx) * np.sqrt(yy)), 0.0)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """SplitMix64 mix — widens uint32 token ids to well-mixed 64-bit keys."""
     z = (np.asarray(x, dtype=U64) + U64(0x9E3779B97F4A7C15)).astype(U64)
