@@ -225,24 +225,192 @@ def q_cosine_topk_lsh(spark, sf_dir):
 
 
 def q_substring_pairs(spark, sf_dir):
-    """Winnowed-Rabin exact-substring candidate+verify pass (north-rule extra)."""
+    """Winnowed-Rabin exact-substring candidate+verify pass (north-rule extra).
+
+    Restricted to pairs whose SHORTER text is >= substring_window +
+    substring_k - 1 = 159 chars: below that the winnowing guarantee (one
+    shared selected fingerprint per shared run of that length) does not
+    apply, so only above it is the output provably equal to the DuckDB
+    brute-force contains() oracle.
+    """
     from webdedup.substring import substring_pairs
 
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
-    return substring_pairs(docs, CFG)
+    lens = docs.select("doc_id", F.length("text").alias("_len"))
+    min_len = CFG.substring_window + CFG.substring_k - 1
+    pairs = substring_pairs(docs, CFG)
+    la = lens.select(F.col("doc_id").alias("a"), F.col("_len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("b"), F.col("_len").alias("len_b"))
+    return (
+        pairs.join(la, "a").join(lb, "b")
+        .where(F.least("len_a", "len_b") >= min_len)
+        .select("a", "b", "jaccard")
+    )
+
+
+def _md5_id(col):
+    """First 8 hex chars of md5 as a uint32-ranged BIGINT — the one string→id
+    hash computable identically in Spark and DuckDB ('0x'||hex cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def q_index_stats(spark, sf_dir):
-    """B6 per-slot inverse-index stats via the MinHashNeighbors API."""
+    """B6 per-slot inverse-index stats via the MinHashNeighbors API.
+
+    Output uses exact-integer forms (sum / sum-of-squares of bucket sizes,
+    recovered from the API's mean/stddev) so the DuckDB oracle — which
+    recomputes the full wang32-argmin MinHash signature in SQL — is
+    hash-stable across engines.
+    """
     from webdedup.api import MinHashNeighbors
-    from webdedup.signatures import make_featurize_udf
 
     docs = _load(spark, sf_dir, "documents")
     feats = docs.select(
-        F.col("doc_id").alias("id"), F.split("text", " ").alias("_toks")
-    ).select("id", F.transform(F.col("_toks"), lambda t: F.crc32(t)).alias("features"))
+        F.col("doc_id").alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda t: _md5_id(t))
+            )
+        ).alias("features"),
+    )
     nn = MinHashNeighbors(number_of_hash_functions=16, max_bin_size=100000).fit(feats)
-    return nn.index_stats()
+    st = nn.index_stats()
+    n = F.col("n_hash_values")
+    mean = F.col("mean_bucket_size")
+    sd = F.col("stddev_bucket_size")
+    return st.select(
+        F.col("slot").cast("long").alias("slot"),
+        n.cast("long").alias("n_hash_values"),
+        F.round(mean * n).cast("long").alias("sum_bucket"),
+        F.round((sd * sd + mean * mean) * n).cast("long").alias("sum_sq_bucket"),
+    )
+
+
+def _tf_gram_features(spark, sf_dir, min_tokens: int = 0):
+    """(id, features, values): sorted word-3-gram md5 ids + term frequencies —
+    the valued sparse-row input of the reference data model (CSR indices +
+    data), derived identically in Spark and the DuckDB oracles."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    if min_tokens:
+        docs = docs.where(F.size(F.split("text", " ")) >= min_tokens)
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+                F.element_at(toks, (i + 3).cast("int")),
+            ),
+        ),
+    ).otherwise(toks)
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    tf = (
+        g.select("doc_id", _md5_id(F.col("gram")).alias("gid"))
+        .groupBy("doc_id", "gid")
+        .agg(F.count("*").alias("tf"))
+    )
+    rows = tf.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("gid", "tf"))).alias("s")
+    )
+    return rows.select(
+        F.col("doc_id").alias("id"),
+        F.expr("transform(s, x -> x.gid)").alias("features"),
+        F.expr("transform(s, x -> cast(x.tf as double))").alias("values"),
+    )
+
+
+def q_api_kneighbors_cosine(spark, sf_dir):
+    """Q3/Q5/Q7 cosine face: fit over (features, values), similarity=True →
+    exact cosine re-rank (sparseMatrix.h:274-316) over LSH candidates; top-3
+    among pairs with cosine >= 0.8. Integer term frequencies make the cosine
+    bit-deterministic vs the DuckDB brute-force oracle; recall is exact at
+    this config because 128 raw signature slots make candidate misses at
+    J >= 0.67 (implied by cos >= 0.8 on near-binary vectors) ~impossible."""
+    from pyspark.sql import Window
+
+    from webdedup.api import MinHashNeighbors
+
+    feats = _tf_gram_features(spark, sf_dir)
+    nn = MinHashNeighbors(
+        number_of_hash_functions=128, max_bin_size=100_000, similarity=True
+    ).fit(feats)
+    edges = nn.radius_neighbors(radius=0.8)
+    e = edges.withColumn(
+        "cos_e4", F.floor(F.lit(10000.0) * F.col("distance")).cast("long")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_e4"), F.asc("cand_id"))
+    return (
+        e.withColumn("rnk", F.rank().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("query_id", "cand_id", "cos_e4", "rnk")
+    )
+
+
+def q_api_radius_euclid(spark, sf_dir):
+    """Q5/Q7 euclidean face: radius query with the reference's default exact
+    metric (values present, similarity=False → euclidean). Docs < 30 tokens
+    are excluded so a disjoint short pair can never slip under the absolute
+    radius (xx + yy >= 2*28 > 36); within the radius J >= ~0.22, where 128
+    raw slots give ~1e-14 miss probability — the DuckDB brute-force oracle
+    is then an exact match. dist2 = squared distance (exact integer)."""
+    from webdedup.api import MinHashNeighbors
+
+    feats = _tf_gram_features(spark, sf_dir, min_tokens=30)
+    nn = MinHashNeighbors(number_of_hash_functions=128, max_bin_size=100_000).fit(feats)
+    edges = nn.radius_neighbors(radius=6.0)
+    return edges.select(
+        "query_id",
+        "cand_id",
+        F.round(F.col("distance") * F.col("distance")).cast("long").alias("dist2"),
+    )
+
+
+def q_lsh_recall_covered(spark, sf_dir):
+    """North-rule dup-pair recall gate as a value-checked row set: every
+    brute-force near-dup pair (word-3-gram J >= 0.8, exact-dup collapsed to
+    min-id representatives) that IS covered by the pipeline's candidate
+    generation (MinHash LSH bands ∪ SimHash blocks). Equal to the oracle's
+    full brute-force pair set ⟺ candidate recall = 1.0."""
+    from webdedup import lsh
+    from webdedup.signatures import featurize
+
+    docs = _load(spark, sf_dir, "documents")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    brute = TS.ngram_jaccard_pairs(reps, n=3, min_ppm=800_000)
+    feat = featurize(reps, CFG)
+    cand = lsh.candidate_pairs(feat, CFG)
+    if CFG.use_simhash:
+        cand = cand.union(lsh.simhash_candidate_pairs(feat, CFG)).dropDuplicates(
+            ["a", "b"]
+        )
+    return brute.join(cand, ["a", "b"], "left_semi")
+
+
+def q_cluster_containment(spark, sf_dir):
+    """Cluster-assignment gate: every brute-force near-dup pair must land in
+    the same pipeline cluster (same_cluster = 1 for every row ⟺ oracle
+    hash match)."""
+    docs = _load(spark, sf_dir, "documents")
+    res = dedup(docs, CFG, id_col="doc_id")
+    labels = res.clusters.select("doc_id", "cluster_id")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "text"
+    )
+    brute = TS.ngram_jaccard_pairs(reps, n=3, min_ppm=800_000)
+    la = labels.select(F.col("doc_id").alias("a"), F.col("cluster_id").alias("ca"))
+    lb = labels.select(F.col("doc_id").alias("b"), F.col("cluster_id").alias("cb"))
+    return (
+        brute.join(la, "a")
+        .join(lb, "b")
+        .select(
+            "a", "b", (F.col("ca") == F.col("cb")).cast("long").alias("same_cluster")
+        )
+    )
 
 
 def q_api_kneighbors(spark, sf_dir):
@@ -278,13 +446,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": q_events_daily,
         "sessionization": q_sessionization,
         "near_dup_pairs": q_near_dup_pairs,
+        "substring_pairs": q_substring_pairs,
+        "index_stats": q_index_stats,
+        "api_kneighbors_cosine": q_api_kneighbors_cosine,
+        "api_radius_euclid": q_api_radius_euclid,
+        "lsh_recall_covered": q_lsh_recall_covered,
+        "cluster_containment": q_cluster_containment,
         # rows-only (no oracle): LSH / SimHash / full pipeline / ANN-LSH
         "dedup_clusters": q_dedup_clusters,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk_lsh": q_cosine_topk_lsh,
-        "substring_pairs": q_substring_pairs,
-        "index_stats": q_index_stats,
         "api_kneighbors": q_api_kneighbors,
     }
 
@@ -292,6 +464,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracles (DuckDB SQL) — formulas mirror the Spark DataFrame code 1:1
 # --------------------------------------------------------------------------
+
+# exact-dup collapse to min-id representatives — makes gram-level oracles
+# robust to corpora WITH byte-identical texts (the pipeline collapses exact
+# dups before featurization and emits near pairs between representatives
+# only, so the oracle must compare at the same granularity)
+_REP_SRC = "(SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
+
+_NGRAM_CTE_REP = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {_REP_SRC}),
+grams AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+    THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE t END) AS gs
+  FROM toks),
+sizes AS (SELECT doc_id, len(gs) AS n FROM grams),
+g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_inter
+  FROM g l JOIN g r ON l.gram = r.gram AND l.doc_id < r.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT i.a, i.b,
+         CAST(floor(1000000.0 * i.n_inter / (sa.n + sb.n - i.n_inter)) AS BIGINT) AS jaccard_ppm,
+         1000000.0 * i.n_inter / (sa.n + sb.n - i.n_inter) AS jraw
+  FROM inter i
+  JOIN sizes sa ON i.a = sa.doc_id
+  JOIN sizes sb ON i.b = sb.doc_id)
+"""
+
+# TF-weighted 3-gram sparse vectors (gid = md5-prefix id, tf = gram count) —
+# the valued-row input shared by the cosine/euclid API oracles; all dot
+# products are exact BIGINTs so the float division/sqrt are bit-identical
+# between numpy and DuckDB
+def _TF_CTE(min_tokens: int = 0) -> str:
+    where = f"WHERE len(t) >= {min_tokens}" if min_tokens else ""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents {where}),
+gr AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE t END) AS gram FROM toks),
+tf AS (SELECT doc_id, ('0x' || substring(md5(gram), 1, 8))::BIGINT AS gid, count(*) AS tf
+       FROM gr GROUP BY 1, 2),
+xx AS (SELECT doc_id, sum(tf*tf) AS xx FROM tf GROUP BY 1),
+xy AS (SELECT l.doc_id AS a, r.doc_id AS b, sum(l.tf * r.tf) AS xy
+       FROM tf l JOIN tf r ON l.gid = r.gid AND l.doc_id < r.doc_id GROUP BY 1, 2)
+"""
+
 
 _NGRAM_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -438,6 +657,61 @@ SELECT user_id, session_no, min(t) AS session_start, max(t) AS session_end,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_no
 """,
-        "near_dup_pairs": _NGRAM_CTE
+        "near_dup_pairs": _NGRAM_CTE_REP
         + "SELECT a, b, jaccard_ppm FROM pairs WHERE jraw >= 800000",
+        "lsh_recall_covered": _NGRAM_CTE_REP
+        + "SELECT a, b, jaccard_ppm FROM pairs WHERE jraw >= 800000",
+        "cluster_containment": _NGRAM_CTE_REP
+        + "SELECT a, b, CAST(1 AS BIGINT) AS same_cluster FROM pairs WHERE jraw >= 800000",
+        "substring_pairs": """
+SELECT l.doc_id AS a, r.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM documents l JOIN documents r
+  ON l.doc_id < r.doc_id
+ AND least(length(l.text), length(r.text)) >= 159
+ AND (contains(l.text, r.text) OR contains(r.text, l.text))
+""",
+        "api_kneighbors_cosine": _TF_CTE()
+        + """,
+cosp AS (SELECT a, b,
+         CAST(xy AS DOUBLE) / (sqrt(CAST(xa.xx AS DOUBLE)) * sqrt(CAST(xb.xx AS DOUBLE))) AS cos
+         FROM xy JOIN xx xa ON xy.a = xa.doc_id JOIN xx xb ON xy.b = xb.doc_id),
+keep AS (SELECT * FROM cosp WHERE cos >= 0.8),
+bothdir AS (SELECT a AS query_id, b AS cand_id, cos FROM keep
+            UNION ALL
+            SELECT b AS query_id, a AS cand_id, cos FROM keep),
+ranked AS (SELECT query_id, cand_id,
+                  CAST(floor(10000.0 * cos) AS BIGINT) AS cos_e4,
+                  rank() OVER (PARTITION BY query_id
+                      ORDER BY CAST(floor(10000.0 * cos) AS BIGINT) DESC, cand_id ASC) AS rnk
+           FROM bothdir)
+SELECT query_id, cand_id, cos_e4, rnk FROM ranked WHERE rnk <= 3
+""",
+        "api_radius_euclid": _TF_CTE(min_tokens=30)
+        + """,
+d2 AS (SELECT a, b, xa.xx - 2*xy + xb.xx AS dist2
+       FROM xy JOIN xx xa ON xy.a = xa.doc_id JOIN xx xb ON xy.b = xb.doc_id),
+keep AS (SELECT * FROM d2 WHERE dist2 <= 36)
+SELECT a AS query_id, b AS cand_id, dist2 FROM keep
+UNION ALL
+SELECT b AS query_id, a AS cand_id, dist2 FROM keep
+""",
+        "index_stats": """
+WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+feat AS (SELECT DISTINCT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS f FROM toks),
+seeds AS (SELECT unnest(range(1, 17)) AS j),
+k0 AS (SELECT doc_id, f, j, ((f + 1) * j) % 4294967296 AS k FROM feat CROSS JOIN seeds),
+s1 AS (SELECT doc_id, f, j, ((4294967295 - k) + ((k * 32768) % 4294967296)) % 4294967296 AS k FROM k0),
+s2 AS (SELECT doc_id, f, j, xor(k, k // 4096) AS k FROM s1),
+s3 AS (SELECT doc_id, f, j, (k + ((k * 4) % 4294967296)) % 4294967296 AS k FROM s2),
+s4 AS (SELECT doc_id, f, j, xor(k, k // 16) AS k FROM s3),
+s5 AS (SELECT doc_id, f, j, (k * 2057) % 4294967296 AS k FROM s4),
+h AS (SELECT doc_id, f, j, xor(k, k // 65536) AS hv FROM s5),
+mn AS (SELECT doc_id, j, min(hv) AS mh FROM h GROUP BY 1, 2),
+sig AS (SELECT h.doc_id, h.j - 1 AS slot, min(h.f) AS hash
+        FROM h JOIN mn ON h.doc_id = mn.doc_id AND h.j = mn.j AND h.hv = mn.mh
+        GROUP BY 1, 2),
+buckets AS (SELECT slot, hash, count(*) AS c FROM sig GROUP BY 1, 2)
+SELECT slot, count(*) AS n_hash_values, sum(c) AS sum_bucket, sum(c*c) AS sum_sq_bucket
+FROM buckets GROUP BY slot
+""",
     }

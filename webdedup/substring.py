@@ -54,8 +54,25 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
             F.col("r.n_fp").alias("n_b"),
         )
         .agg(F.count("*").alias("n_shared"))
-        # the shorter doc must share most of its fingerprints to be contained
-        .where(F.col("n_shared") >= 0.8 * F.least("n_a", "n_b"))
+        # Containment gate compatible with the winnowing guarantee: if the
+        # shorter text is contained in the longer, every fingerprint selected
+        # from its INTERIOR windows is also selected from the copy inside the
+        # longer text (winnowing is self-punctuating; Schleimer et al. §5.1)
+        # — only fingerprints chosen within `window` positions of the two
+        # boundaries can differ, at most ~2 distinct per side. So require
+        # n_shared >= min(ceil(0.8*n_min), n_min - 4) (>= 1): the 0.8 form
+        # for long docs, the n_min-4 slack so short contained docs are never
+        # dropped by boundary effects.
+        .where(
+            F.col("n_shared")
+            >= F.greatest(
+                F.lit(1),
+                F.least(
+                    F.ceil(0.8 * F.least("n_a", "n_b")),
+                    F.least("n_a", "n_b") - F.lit(4),
+                ),
+            )
+        )
         .select("a", "b")
     )
     # Pull only the texts that appear in a candidate pair before shuffling
