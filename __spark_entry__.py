@@ -224,6 +224,17 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return ann.cosine_topk_lsh(emb, dim=dim, k=5)
 
 
+def q_cosine_ann_ivf(spark, sf_dir):
+    """Scale-path ANN: IVF (spherical k-means cells + nprobe) with per-cell
+    matmul re-rank. Headline config n_cells=64/nprobe=48: recall@5 = 0.978
+    vs brute at sf0.1 on uniform-random embeddings (the worst case — no
+    similarity gap; clustered corpora reach ~1.0 at nprobe=8, test_ann.py)
+    at ~20x the brute throughput."""
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return ann.ivf_topk(emb, dim=dim, k=5, n_cells=64, nprobe=48)
+
+
 def q_substring_pairs(spark, sf_dir):
     """Winnowed-Rabin exact-substring candidate+verify pass (north-rule extra).
 
@@ -457,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_ann_ivf": q_cosine_ann_ivf,
         "api_kneighbors": q_api_kneighbors,
     }
 

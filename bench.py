@@ -79,7 +79,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "q_ngram_jaccard",
         lambda: E.q_ngram_jaccard_pairs(spark, sf_dir).count(),
     )
-    timed("q_cosine_topk", lambda: E.q_cosine_topk(spark, sf_dir).count())
+    # ANN headline = the IVF scale path (recall@5 >= 0.95 vs brute, gated in
+    # tests/test_ann.py); the brute crossJoin stays oracle-only
+    timed("q_cosine_ann_ivf", lambda: E.q_cosine_ann_ivf(spark, sf_dir).count())
     timed("q_simhash", lambda: E.q_simhash_fingerprints(spark, sf_dir).count())
     timed("q_token_topk", lambda: E.q_token_topk(spark, sf_dir).count())
 

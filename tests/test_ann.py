@@ -1,0 +1,101 @@
+"""ANN recall gates: IVF scale path vs brute-force oracle.
+
+Two data regimes:
+* testdata embeddings are uniform random (no similarity gap — best-neighbor
+  cosine ~0.33): IVF must still hit recall@5 >= 0.95 at the headline config
+  (n_cells=64, nprobe=48), paying ~75% scan — the honest worst case.
+* clustered embeddings (the real web-corpus shape — near-dup pages share
+  near-identical vectors): IVF reaches ~1.0 recall at small nprobe, and
+  sign-LSH finds the planted near-dup pairs — the regime both structures
+  are built for.
+"""
+
+import numpy as np
+import pytest
+
+from webdedup import ann
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def random_emb(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb.persist().count()
+    return emb
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """300 vectors in 30 tight clusters of 10 (cos >= ~0.95 within cluster)."""
+    rng = np.random.RandomState(42)
+    rows = []
+    vid = 0
+    for c in range(30):
+        base = rng.standard_normal(64)
+        base /= np.linalg.norm(base)
+        for _ in range(10):
+            # sigma 0.04: E||noise||^2 = 64*0.04^2 ~ 0.10 -> within-cluster
+            # cosine ~ 1/sqrt(1.1) ~ 0.95
+            v = base + 0.04 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _pairs(df):
+    return {(r["vec_id"], r["nn_id"]) for r in df.collect()}
+
+
+def test_ivf_recall_random_data(spark, random_emb):
+    """Headline config gate on structureless data: recall@5 >= 0.95."""
+    dim = len(random_emb.select("embedding").first()[0])
+    brute = _pairs(ann.cosine_topk(random_emb, k=5))
+    got = _pairs(ann.ivf_topk(random_emb, dim=dim, k=5, n_cells=64, nprobe=48))
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.95, f"IVF recall {recall:.4f} on random embeddings"
+
+
+def test_ivf_recall_clustered_data_small_nprobe(spark, clustered_emb):
+    """Clustered corpus: small nprobe (8/32 = 25% scan) already recalls the
+    true neighbors — the regime the index is designed for."""
+    brute = _pairs(ann.cosine_topk(clustered_emb, k=5))
+    got = _pairs(ann.ivf_topk(clustered_emb, dim=64, k=5, n_cells=32, nprobe=8))
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.95, f"IVF clustered recall {recall:.4f}"
+
+
+def test_ivf_values_match_brute(spark, random_emb):
+    """Where IVF and brute agree on a pair, the cos_e4 value must be equal
+    (same float64 dot/norm math; matmul vs zip_with can differ by 1 ulp at a
+    floor boundary — allow off-by-one)."""
+    dim = len(random_emb.select("embedding").first()[0])
+    brute = {
+        (r["vec_id"], r["nn_id"]): r["cos_e4"]
+        for r in ann.cosine_topk(random_emb, k=5).collect()
+    }
+    got = {
+        (r["vec_id"], r["nn_id"]): r["cos_e4"]
+        for r in ann.ivf_topk(
+            random_emb, dim=dim, k=5, n_cells=64, nprobe=48
+        ).collect()
+    }
+    shared = set(brute) & set(got)
+    assert shared
+    for p in shared:
+        assert abs(brute[p] - got[p]) <= 1, (p, brute[p], got[p])
+
+
+def test_sign_lsh_finds_planted_near_dups(spark, clustered_emb):
+    """cosine_topk_lsh's role is near-dup retrieval (cos >= ~0.9), not
+    generic top-k on random data: within-cluster planted pairs must be
+    recalled >= 0.95."""
+    brute = ann.cosine_topk(clustered_emb, k=5)
+    planted = {
+        (r["vec_id"], r["nn_id"])
+        for r in brute.where("cos_e4 >= 9000").collect()
+    }
+    assert planted
+    got = _pairs(ann.cosine_topk_lsh(clustered_emb, dim=64, k=5))
+    recall = len(planted & got) / len(planted)
+    assert recall >= 0.95, f"sign-LSH near-dup recall {recall:.4f}"

@@ -131,3 +131,35 @@ def test_cluster_ids_are_member_min(result):
     rows = result.clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("m")).collect()
     for r in rows:
         assert r["cluster_id"] == r["m"]
+
+
+def test_near_cap_bucket_pair_budget(spark):
+    """A band bucket just under max_bin_size must emit exactly B(B-1)/2
+    in-bucket candidate pairs (quadratic but bounded by the cap: worst case
+    ~max_bin_size^2/2 per bucket, split at runtime by AQE skew-join), while
+    a bucket AT the cap is tombstoned and emits none."""
+    from webdedup import lsh
+
+    cfg = DedupConfig(max_bin_size=40)
+    under = 39   # = cap - 1: survives, emits 39*38/2 pairs
+    over = 40    # = cap: killed entirely
+    rows = (
+        [(i, 0, 1111) for i in range(under)]
+        + [(1000 + i, 0, 2222) for i in range(over)]
+    )
+    feat_rows = spark.createDataFrame(rows, "doc_id long, band int, band_hash long")
+    # feed the bucket rows directly through the tombstone + self-join
+    ok = lsh.surviving_buckets(feat_rows, cfg)
+    assert ok.where("band_hash = 2222").count() == 0
+    l, r = ok.alias("l"), ok.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    assert pairs.count() == under * (under - 1) // 2

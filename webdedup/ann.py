@@ -11,7 +11,10 @@ bands.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 E4 = 10_000
 
@@ -57,6 +60,130 @@ def cosine_topk(emb: DataFrame, k: int = 5, col: str = "embedding") -> DataFrame
     )
 
 
+def _kmeans_numpy(X: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Spherical k-means on a driver-side sample → (k, dim) unit centroids.
+
+    Training on a bounded sample is the scale-correct pattern (FAISS trains
+    IVF quantizers on samples, not the corpus); the sample is deterministic
+    (xxhash64 order upstream) so runs are reproducible.
+    """
+    X = np.asarray(X, dtype=np.float64)
+    n = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = n[rng.choice(len(n), size=min(k, len(n)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (n @ C.T).argmax(axis=1)
+        for j in range(C.shape[0]):
+            pts = n[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def ivf_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """Approximate cosine top-k via an IVF (inverted-file) index.
+
+    Scale path: spherical-k-means coarse quantizer (trained on a
+    deterministic driver-side sample), every vector assigned to its nearest
+    centroid cell, queries probe their ``nprobe`` nearest cells and re-rank
+    exactly within candidates. Join volume ≈ brute-force × nprobe/n_cells;
+    recall depends on the data's neighbor structure — clustered embedding
+    corpora (the real 100-TB case) reach ~1.0 at small nprobe, while
+    uniform-random vectors (no similarity gap) need nprobe → n_cells (see
+    BASELINE.md's measured curve; this is a property of the data, not the
+    index — no sublinear ANN structure can beat it on structureless data).
+
+    Assignment/probing are Arrow-batched numpy matmuls (one (batch, dim) @
+    (dim, n_cells) per batch); the candidate join + exact re-rank stay
+    JVM-side.
+    """
+    sample = [
+        r[0]
+        for r in emb.select(col)
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(train_sample)
+        .collect()
+    ]
+    C = _kmeans_numpy(np.array(sample, dtype=np.float64), n_cells, seed=seed)
+    P = min(nprobe, C.shape[0])
+
+    @pandas_udf(IntegerType())
+    def assign_cell(v: pd.Series) -> pd.Series:
+        X = np.array(list(v), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X / nrm @ C.T).argmax(axis=1).astype("int32"))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        X = np.array(list(v), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sim = X / nrm @ C.T
+        top = np.argsort(-sim, axis=1)[:, :P].astype("int32")
+        return pd.Series(list(top))
+
+    data = emb.select(
+        "vec_id", F.col(col).alias("_v"), assign_cell(F.col(col)).alias("cell")
+    )
+    probes = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col(col).alias("_q"),
+        F.explode(probe_cells(F.col(col))).alias("cell"),
+    )
+
+    def _rerank(qdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
+        # per-cell exact rerank as ONE numpy matmul (queries probing this
+        # cell × vectors stored in it) — the Arrow-batched replacement for a
+        # per-pair JVM expression; emits each query's top-k within the cell,
+        # the global window below merges across probed cells
+        if qdf.empty or ddf.empty:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_e4": []}).astype(
+                {"vec_id": "int64", "nn_id": "int64", "cos_e4": "int64"}
+            )
+        Q = np.array(list(qdf["_q"]), dtype=np.float64)
+        X = np.array(list(ddf["_v"]), dtype=np.float64)
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sim = Qn @ Xn.T
+        qids = qdf["qid"].to_numpy()
+        xids = ddf["vec_id"].to_numpy()
+        sim[qids[:, None] == xids[None, :]] = -np.inf  # self-pairs
+        kk = min(k, sim.shape[1])
+        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(qids, kk)
+        rows_n = xids[part.ravel()]
+        rows_s = np.take_along_axis(sim, part, axis=1).ravel()
+        keep = np.isfinite(rows_s)
+        return pd.DataFrame(
+            {
+                "vec_id": rows_q[keep].astype("int64"),
+                "nn_id": rows_n[keep].astype("int64"),
+                "cos_e4": np.floor(E4 * rows_s[keep]).astype("int64"),
+            }
+        )
+
+    partial = (
+        probes.groupBy("cell")
+        .cogroup(data.groupBy("cell"))
+        .applyInPandas(_rerank, schema="vec_id long, nn_id long, cos_e4 long")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_e4"), F.asc("nn_id"))
+    return (
+        partial.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("vec_id", "nn_id", "cos_e4", "rnk")
+    )
+
+
 def _plane_matrix(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((dim, n_planes)).astype(np.float64)
@@ -84,13 +211,18 @@ def cosine_topk_lsh(
     emb: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 12,
-    n_tables: int = 4,
+    n_planes: int = 6,
+    n_tables: int = 8,
     col: str = "embedding",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates from multi-table sign-LSH buckets,
     exact cosine re-rank within candidates (the fast=False two-stage shape of
-    the reference, nearestNeighbors.cpp:122-190, for vectors)."""
+    the reference, nearestNeighbors.cpp:122-190, for vectors).
+
+    Defaults are tuned for NEAR-DUP retrieval (cos >= ~0.9 → per-bit match
+    p >= 0.86 → recall 1-(1-p^6)^8 >= 0.95, measured 0.98 on planted
+    clusters, tests/test_ann.py). Sign-LSH is the wrong tool for generic
+    top-k over structureless vectors — use ``ivf_topk`` for that."""
     tagged = []
     for t in range(n_tables):
         b = hyperplane_buckets(emb, dim, n_planes, seed=42 + t, col=col)

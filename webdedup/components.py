@@ -47,9 +47,18 @@ def connected_components(
     labels = labels.localCheckpoint(eager=True)
 
     for it in range(max_iter):
-        # min label over incoming neighbors
+        # min label over incoming neighbors PLUS the current label's own
+        # label (pointer jumping): unioning the (id → cluster_id) assignment
+        # edges into the propagation graph makes each round take
+        # label(id) = min(label(nbrs), label(label(id))), which converges in
+        # O(log diameter) rounds instead of O(diameter) — a 25+-hop drift
+        # chain no longer exhausts max_iter.
+        lbl_edges = labels.select(
+            F.col("id").alias("src"), F.col("cluster_id").alias("dst")
+        )
+        prop = sym.unionByName(lbl_edges)
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
+            prop.join(labels, prop.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_label"))
             .withColumnRenamed("src", "id")
@@ -76,7 +85,17 @@ def connected_components(
         if (ob.get["changed"] or 0) == 0:
             break
     else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+        # never abort a whole batch/incremental run over a pathological
+        # chain: labels are a valid (possibly over-split) clustering — warn
+        # and return them; the next incremental round re-resolves the full
+        # edge store anyway
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations;"
+            " returning partial labels (components may be over-split)",
+            RuntimeWarning,
+        )
     # fold isolated vertices back in with their own id as the label
     return vertices.select("id").join(labels, "id", "left").select(
         "id", F.coalesce("cluster_id", "id").alias("cluster_id")

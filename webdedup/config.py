@@ -30,6 +30,9 @@ class DedupConfig:
                                           # (whole-page embeds; ~3x sparser than k=48/w=32)
     min_tokens: int = 1                   # drop empty docs
     salt_buckets: int = 8                 # salting fan-out for hot (band,hash) keys
+    broadcast_id_limit: int = 2_000_000   # max id-set size for broadcast semi-joins
+                                          # (webdedup.joins); above it the join
+                                          # degrades to a shuffle instead of OOMing
     # --- execution ---
     shuffle_partitions: int = 32
     target_partitions: int = 32           # explicit repartition width for band shuffle

@@ -29,6 +29,7 @@ from webdedup import lsh, verify
 from webdedup.catalog import Catalog
 from webdedup.components import connected_components
 from webdedup.config import DedupConfig
+from webdedup.joins import semi_join_ids
 from webdedup.metrics import PipelineMetrics, partition_lineage
 from webdedup.signatures import featurize
 from webdedup.substring import substring_pairs
@@ -135,9 +136,11 @@ class IncrementalDedup:
             w = w.withColumn("rep_id", F.lit(None).cast("long"))
         w = w.withColumn("rep", F.coalesce("rep_id", "batch_rep"))
         uniq_ids = w.where(F.col("doc_id") == F.col("rep")).select("doc_id")
-        uniq_new = new.join(F.broadcast(uniq_ids), "doc_id", "left_semi").select(
-            "doc_id", text_col
-        )
+        # size-gated broadcast semi-join: broadcasts the batch-sized id set,
+        # degrades to a shuffle join above cfg.broadcast_id_limit
+        uniq_new = semi_join_ids(
+            new, uniq_ids, "doc_id", cfg.broadcast_id_limit
+        ).select("doc_id", text_col)
         exact_edges = w.where(F.col("doc_id") != F.col("rep")).select(
             F.col("rep").alias("a"),
             F.col("doc_id").alias("b"),
@@ -167,7 +170,7 @@ class IncrementalDedup:
 
         cand = self._new_touching_pairs(feat_new, feat_all, cfg)
         cand = mx.observe(cand, "candidates", F.count(F.lit(1)).alias("candidate_pairs"))
-        near = verify.verified_pairs(cand, feat_all, cfg.jaccard_threshold).withColumn(
+        near = verify.verified_pairs(cand, feat_all, cfg.jaccard_threshold, cfg.broadcast_id_limit).withColumn(
             "kind", F.lit("near")
         )
         if cfg.use_substring_pass:

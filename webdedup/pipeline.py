@@ -38,6 +38,7 @@ def _profiler():
 from webdedup import lsh, verify
 from webdedup.components import connected_components
 from webdedup.config import DedupConfig
+from webdedup.joins import semi_join_ids
 from webdedup.signatures import featurize
 from webdedup.substring import substring_pairs
 
@@ -84,17 +85,18 @@ def dedup(
     docs.persist()
     # Narrow-column exact-dup collapse: the groupBy and every join below
     # move only (fingerprint, doc_id) — the wide text column never shuffles.
-    # uniq is carved out of the cached docs scan with a broadcast semi-join
-    # on rep ids (a few MB of longs at any realistic dup rate per partition;
-    # at 10^12 docs swap the broadcast for a bucketed semi-join).
+    # uniq is carved out of the cached docs scan with a size-gated semi-join
+    # on rep ids: broadcast below cfg.broadcast_id_limit (rep_ids is
+    # corpus-sized — one id per unique text — so an unconditional hint would
+    # OOM at 10^12 docs), shuffled semi-join above it (webdedup.joins).
     ids = docs.select("fingerprint", "doc_id")
     reps = ids.groupBy("fingerprint").agg(
         F.min("doc_id").alias("rep_id"), F.count("*").alias("n_members")
     )
     rep_ids = reps.select(F.col("rep_id").alias("doc_id"))
-    uniq = docs.join(F.broadcast(rep_ids), "doc_id", "left_semi").select(
-        "doc_id", text_col
-    )
+    uniq = semi_join_ids(
+        docs, rep_ids, "doc_id", cfg.broadcast_id_limit
+    ).select("doc_id", text_col)
     uniq.persist()
     probe("uniq", uniq)
 
@@ -119,7 +121,7 @@ def dedup(
         cand = cand.union(sim).dropDuplicates(["a", "b"])
 
     # ---- stage 3: exact Jaccard verify
-    near = verify.verified_pairs(cand, feat, cfg.jaccard_threshold).withColumn(
+    near = verify.verified_pairs(cand, feat, cfg.jaccard_threshold, cfg.broadcast_id_limit).withColumn(
         "kind", F.lit("near")
     )
     probe("verify", near)

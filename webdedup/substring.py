@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from webdedup.config import DedupConfig
+from webdedup.joins import semi_join_ids
 from webdedup.signatures import make_substring_fp_udf
 
 
@@ -77,16 +78,21 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
     )
     # Pull only the texts that appear in a candidate pair before shuffling
     # them into the verify joins: candidate ids are few, full texts are the
-    # widest column in the table — a broadcast semi-join keeps the two text
-    # shuffles proportional to candidates, not corpus.
+    # widest column in the table — the size-gated broadcast semi-join
+    # (webdedup.joins) keeps the two text shuffles proportional to
+    # candidates, not corpus, and degrades to a shuffle join instead of
+    # OOMing when candidate volume outgrows the limit.
+    shared = shared.persist()
     pair_ids = (
         shared.select(F.col("a").alias("doc_id"))
         .union(shared.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    texts = (
-        df.select("doc_id", F.col(text_col).alias("_t"))
-        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    texts = semi_join_ids(
+        df.select("doc_id", F.col(text_col).alias("_t")),
+        pair_ids,
+        "doc_id",
+        cfg.broadcast_id_limit,
     )
     return (
         shared.join(texts.select(F.col("doc_id").alias("a"), F.col("_t").alias("t_a")), "a")

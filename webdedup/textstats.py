@@ -82,17 +82,44 @@ def ngram_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     return g
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, min_ppm: int = 100_000) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, min_ppm: int = 100_000,
+    max_gram_freq: int = 2000,
+) -> DataFrame:
     """(a, b, jaccard_ppm) — exact word-n-gram Jaccard over all doc pairs.
 
     The brute-force counterpart of the LSH path (what the reference's
     run_test.py recall harness uses sklearn exact NN for). Quadratic in
     colliding grams — meant for oracle checks and small refits, not the
     10^12 path (that's webdedup.pipeline).
+
+    ``max_gram_freq`` tombstones grams shared by >= that many docs (same
+    broadcast-anti-join kill as the LSH hot buckets, lsh.py:44): a
+    boilerplate gram shared by f docs otherwise emits f²/2 join rows, which
+    is the first thing to die at scale. Dropping a hot gram shrinks the
+    intersection AND both set sizes, so near-dup Jaccard values move by
+    O(1/n_grams) — acceptable for the Q4/O3 faces built on this; set it
+    above the corpus size (or 0) to disable for exact-oracle use.
     """
     g = ngram_sets(docs, n)
-    sizes = g.select("doc_id", F.size("gs").alias("n"))
     rows = g.select("doc_id", F.explode("gs").alias("gram"))
+    if max_gram_freq and max_gram_freq > 0:
+        # persist: the exploded gram rows feed the hot-count agg, the sizes
+        # agg, and BOTH sides of the self-join — four gram-construction
+        # passes without it
+        rows = rows.persist()
+        hot = (
+            rows.groupBy("gram")
+            .agg(F.count("*").alias("c"))
+            .where(F.col("c") >= F.lit(max_gram_freq))
+            .select("gram")
+        )
+        rows = rows.join(F.broadcast(hot), "gram", "left_anti")
+        # sizes must count the SURVIVING grams so |A|,|B| stay consistent
+        # with the intersection counts below
+        sizes = rows.groupBy("doc_id").agg(F.count("*").alias("n"))
+    else:
+        sizes = g.select("doc_id", F.size("gs").alias("n"))
     l, r = rows.alias("l"), rows.alias("r")
     inter = (
         l.join(

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from webdedup.joins import semi_join_ids
+
 
 @pandas_udf(DoubleType())
 def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -32,19 +34,26 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def attach_shingles(pairs: DataFrame, feat: DataFrame) -> DataFrame:
+def attach_shingles(
+    pairs: DataFrame, feat: DataFrame, max_broadcast_ids: int = 2_000_000
+) -> DataFrame:
     """Join (a, b) pairs to both sides' shingle arrays."""
-    # narrow feat to ids that appear in a pair first (broadcast semi-join):
-    # the two wide shingle-blob joins then shuffle only candidate rows, not
-    # the whole corpus
+    # narrow feat to ids that appear in a pair first (size-gated broadcast
+    # semi-join, webdedup.joins): the two wide shingle-blob joins then
+    # shuffle only candidate rows, not the whole corpus; above the limit the
+    # semi-join degrades to a shuffle instead of OOMing on a forced hint
+    pairs = pairs.persist()
     pair_ids = (
         pairs.select(F.col("a").alias("doc_id"))
         .union(pairs.select(F.col("b").alias("doc_id")))
         .distinct()
     )
-    sh = feat.select(
-        F.col("doc_id"), F.col("shingles"), F.col("n_shingles")
-    ).join(F.broadcast(pair_ids), "doc_id", "left_semi")
+    sh = semi_join_ids(
+        feat.select(F.col("doc_id"), F.col("shingles"), F.col("n_shingles")),
+        pair_ids,
+        "doc_id",
+        max_broadcast_ids,
+    )
     return (
         pairs.join(
             sh.select(
@@ -64,7 +73,10 @@ def attach_shingles(pairs: DataFrame, feat: DataFrame) -> DataFrame:
     )
 
 
-def verified_pairs(pairs: DataFrame, feat: DataFrame, threshold: float) -> DataFrame:
+def verified_pairs(
+    pairs: DataFrame, feat: DataFrame, threshold: float,
+    max_broadcast_ids: int = 2_000_000,
+) -> DataFrame:
     """(a, b, jaccard) for candidate pairs passing the exact-Jaccard gate.
 
     Cheap JVM-side prefilter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
@@ -72,7 +84,7 @@ def verified_pairs(pairs: DataFrame, feat: DataFrame, threshold: float) -> DataF
     Python kernel (the analogue of the reference's precomputed dot products,
     sparseMatrix.h:60-123).
     """
-    w = attach_shingles(pairs, feat)
+    w = attach_shingles(pairs, feat, max_broadcast_ids)
     size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
     return (
         w.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
