@@ -59,20 +59,20 @@ def test_incremental_matches_batch(spark, tmp_root):
     m2 = inc.process("pages")
     assert m2["source_snapshot"] == 2
 
-    # same clustering as one-shot batch over the full corpus
-    inc_cl = inc.clusters()
+    # same clustering as one-shot batch over the full corpus — compared by
+    # url (incremental doc ids are keyed (url, snapshot), batch by url)
+    urls = inc.work.read(spark, "docs").select("doc_id", "url")
+    inc_cl = inc.clusters().join(urls, "doc_id")
     batch = dedup(pages, CFG)
-    ids = pages.select("url", F.xxhash64("url").alias("doc_id"))
-    batch_cl = batch.clusters.join(ids, "doc_id")
 
     def groups(rows):
         by = {}
-        for did, cid in rows:
-            by.setdefault(cid, set()).add(did)
+        for u, cid in rows:
+            by.setdefault(cid, set()).add(u)
         return {frozenset(v) for v in by.values() if len(v) > 1}
 
-    gi = groups([(r["doc_id"], r["cluster_id"]) for r in inc_cl.collect()])
-    gb = groups([(r["doc_id"], r["cluster_id"]) for r in batch_cl.select("doc_id", "cluster_id").collect()])
+    gi = groups([(r["url"], r["cluster_id"]) for r in inc_cl.collect()])
+    gb = groups([(r["url"], r["cluster_id"]) for r in batch.clusters.select("url", "cluster_id").collect()])
     assert gi == gb
 
 
@@ -104,9 +104,11 @@ def test_crash_resume_rolls_back_partial_writes(spark, tmp_root):
     # simulate a crash during snapshot 2: partial work-store appends landed
     # but state.json was never advanced
     cat.append("pages", p2)
-    partial = p2.limit(20).withColumn("doc_id", F.xxhash64("url")).withColumn(
+    partial = p2.limit(20).withColumn(
+        "doc_id", F.xxhash64("url", F.lit("2"))
+    ).withColumn(
         "fingerprint", F.md5(F.col("text").cast("binary"))
-    ).select("doc_id", "fingerprint").withColumn("src_snapshot", F.lit(2))
+    ).select("doc_id", "url", "fingerprint").withColumn("src_snapshot", F.lit(2))
     inc.work.append("docs", partial)  # debris
 
     m2 = inc.process("pages")  # must roll back debris, then process cleanly
@@ -131,3 +133,65 @@ def test_metrics_files_written(spark, tmp_root):
     assert saved["featurize"]["signatures_emitted"] > 0
     assert "candidate_pairs" in saved["candidates"]
     assert isinstance(saved["partition_lineage"], list)
+
+
+def test_catalog_append_survives_unmanifested_debris(spark, tmp_root):
+    """ADVICE r1 (high): a crash between df.write and the manifest commit
+    leaves an un-manifested snap dir; the next append at the same id must
+    replace it, not wedge on errorifexists — forever."""
+    cat = Catalog(os.path.join(tmp_root, "wh"))
+    cat.append("t", spark.range(0, 10).withColumnRenamed("id", "x"))
+    # simulate the crash: snapshot 2's directory exists but was never
+    # committed to the manifest
+    debris = os.path.join(tmp_root, "wh", "t", "snap-000002")
+    spark.range(100, 105).withColumnRenamed("id", "x").write.parquet(debris)
+    assert cat.current_snapshot("t") == 1
+    sid = cat.append("t", spark.range(10, 30).withColumnRenamed("id", "x"))
+    assert sid == 2
+    assert cat.read(spark, "t").count() == 30  # debris rows replaced, not merged
+    # and a half-written temp dir is likewise cleaned on the next attempt
+    tmp_debris = os.path.join(tmp_root, "wh", "t", "snap-000003.inprogress")
+    os.makedirs(tmp_debris)
+    sid = cat.append("t", spark.range(30, 35).withColumnRenamed("id", "x"))
+    assert sid == 3
+    assert cat.read(spark, "t").count() == 35
+
+
+def test_recrawled_url_with_changed_text_gets_new_identity(spark, tmp_root):
+    """ADVICE r1 (medium): a url recrawled with DIFFERENT text must not
+    collide with its old doc row (ids are keyed (url, snapshot)); a recrawl
+    with IDENTICAL text links to the old doc through the exact-dup path."""
+    pages, _ = pages_dataframe(spark, n=60, seed=7)
+    pages = pages.select("url", "warc_ts", "text", "lang")
+    cat = Catalog(os.path.join(tmp_root, "src"))
+    cat.append("pages", pages)
+    inc = IncrementalDedup(spark, cat, os.path.join(tmp_root, "work"), CFG)
+    inc.process("pages")
+
+    # snapshot 2 recrawls every url: half with identical text, half replaced
+    # by brand-new unrelated text
+    changed = pages.withColumn(
+        "text",
+        F.when(
+            F.crc32("url") % 2 == 0,
+            F.concat(F.lit("completely new content revision "), F.col("url")),
+        ).otherwise(F.col("text")),
+    )
+    cat.append("pages", changed)
+    inc.process("pages")
+
+    docs = inc.work.read(spark, "docs")
+    # every (url, snapshot) crawl event is its own doc — no id collisions
+    assert docs.count() == 120
+    assert docs.select("doc_id").distinct().count() == 120
+    labels = inc.clusters().join(docs.select("doc_id", "url", "src_snapshot"), "doc_id")
+    by_url = (
+        labels.groupBy("url")
+        .agg(F.countDistinct("cluster_id").alias("n_clusters"))
+        .collect()
+    )
+    unchanged_urls = {r["url"] for r in pages.where(F.crc32("url") % 2 == 1).collect()}
+    for r in by_url:
+        if r["url"] in unchanged_urls:
+            # identical recrawl → exact-dup edge → one cluster for both crawls
+            assert r["n_clusters"] == 1, r["url"]

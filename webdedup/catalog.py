@@ -66,11 +66,28 @@ class Catalog:
     # ---- write path ----
 
     def append(self, table: str, df: DataFrame) -> int:
-        """Append rows as a new snapshot; returns the new snapshot id."""
+        """Append rows as a new snapshot; returns the new snapshot id.
+
+        Crash-safe: the parquet lands in a temp dir first and is renamed
+        into place only when complete, and any debris from a previous
+        attempt at this (never-manifested) snapshot id is removed before
+        writing — a run that died between df.write and the manifest commit
+        can always be re-run (the 'safe to re-run after a crash' contract
+        of incremental.py; a plain errorifexists write here would wedge
+        every subsequent resume on the leftover directory).
+        """
+        import shutil
+
         m = self._load(table)
         sid = (m["current"] or 0) + 1
         snap_dir = os.path.join(self.root, table, f"snap-{sid:06d}")
-        df.write.mode("errorifexists").parquet(snap_dir)
+        tmp_dir = snap_dir + ".inprogress"
+        # sid > every manifested id by construction, so both paths are
+        # un-committed debris if they exist
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(snap_dir, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp_dir)
+        os.rename(tmp_dir, snap_dir)  # atomic publish
         files = sorted(
             os.path.join(snap_dir, f)
             for f in os.listdir(snap_dir)

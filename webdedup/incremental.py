@@ -34,7 +34,7 @@ from webdedup.metrics import PipelineMetrics, partition_lineage
 from webdedup.signatures import featurize
 from webdedup.substring import substring_pairs
 
-DOCS = "docs"          # (doc_id, fingerprint, src_snapshot)
+DOCS = "docs"          # (doc_id, url, fingerprint, src_snapshot)
 FEATURES = "features"  # (doc_id, text, shingles, bands, simhash, n_shingles, src_snapshot)
 EDGES = "edges"        # (a, b, jaccard, kind, src_snapshot)
 
@@ -110,9 +110,15 @@ class IncrementalDedup:
         mx = PipelineMetrics()
         new = self.source.read_incremental(self.spark, table, after=last, upto=cur)
         new = mx.observe(new, "pages_in")
-        new = new.withColumn("doc_id", F.xxhash64("url")).withColumn(
-            "fingerprint", F.md5(F.col(text_col).cast("binary"))
-        )
+        # doc identity = one CRAWL EVENT of a url, keyed (url, snapshot):
+        # a recrawled url whose text changed must not collide with its old
+        # row (a bare xxhash64(url) id would accumulate two different
+        # fingerprint/shingle rows under one id, corrupting verify joins and
+        # cluster labels). A recrawl with identical text links to the old
+        # representative through the exact-dup path like any duplicate.
+        new = new.withColumn(
+            "doc_id", F.xxhash64("url", F.lit(cur).cast("string"))
+        ).withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
         new.persist()
 
         # -- exact-dup split against known + intra-batch fingerprints
@@ -196,7 +202,7 @@ class IncrementalDedup:
         snap_ids = {}
         snap_ids[DOCS] = self.work.append(
             DOCS,
-            new.select("doc_id", "fingerprint").withColumn(
+            new.select("doc_id", "url", "fingerprint").withColumn(
                 "src_snapshot", F.lit(cur)
             ),
         )
