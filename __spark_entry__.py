@@ -425,17 +425,32 @@ def q_cluster_containment(spark, sf_dir):
 
 
 def q_api_kneighbors(spark, sf_dir):
-    """Q1-Q9 chain through the public API on crc32 token sets."""
+    """Q1/Q2/Q3/Q4/Q10 chain through the public API: fit + fast-path
+    kneighbors. Output uses the integer collision count (recovered from the
+    1 - c/sig_len distance) so the DuckDB oracle — which recomputes the full
+    16-slot wang32-argmin signature, the 0/MAX query-slot skip, the
+    collision join, and the tie-ranked top-3 in SQL — is hash-stable."""
     from webdedup.api import MinHashNeighbors
 
     docs = _load(spark, sf_dir, "documents")
     feats = docs.select(
-        F.col("doc_id").alias("id"), F.split("text", " ").alias("_toks")
-    ).select("id", F.array_distinct(F.transform(F.col("_toks"), lambda t: F.crc32(t))).alias("features"))
+        F.col("doc_id").alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda t: _md5_id(t))
+            )
+        ).alias("features"),
+    )
     nn = MinHashNeighbors(
-        n_neighbors=3, number_of_hash_functions=32, max_bin_size=100000, fast=True
+        n_neighbors=3, number_of_hash_functions=16, max_bin_size=100000, fast=True
     ).fit(feats)
-    return nn.kneighbors()
+    out = nn.kneighbors()
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.round((1.0 - F.col("distance")) * 16).cast("long").alias("collisions"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -463,13 +478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_radius_euclid": q_api_radius_euclid,
         "lsh_recall_covered": q_lsh_recall_covered,
         "cluster_containment": q_cluster_containment,
-        # rows-only (no oracle): LSH / SimHash / full pipeline / ANN-LSH
+        "api_kneighbors": q_api_kneighbors,
+        # rows-only (no oracle): LSH / SimHash / full pipeline / ANN
         "dedup_clusters": q_dedup_clusters,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "cosine_ann_ivf": q_cosine_ann_ivf,
-        "api_kneighbors": q_api_kneighbors,
     }
 
 
@@ -523,6 +538,28 @@ xy AS (SELECT l.doc_id AS a, r.doc_id AS b, sum(l.tf * r.tf) AS xy
        FROM tf l JOIN tf r ON l.gid = r.gid AND l.doc_id < r.doc_id GROUP BY 1, 2)
 """
 
+
+# 16-slot wang32-argmin MinHash signature recomputed in SQL over sorted
+# distinct md5-prefix token ids — shared by the index_stats and
+# api_kneighbors oracles. sig = (doc_id, slot 0..15, hash = the argmin
+# FEATURE id, P3 semantics; min(f) tie-break matches the kernel's
+# first-seen argmin over id-sorted features)
+_SIG16_CTE = """
+WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+feat AS (SELECT DISTINCT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS f FROM toks),
+seeds AS (SELECT unnest(range(1, 17)) AS j),
+k0 AS (SELECT doc_id, f, j, ((f + 1) * j) % 4294967296 AS k FROM feat CROSS JOIN seeds),
+s1 AS (SELECT doc_id, f, j, ((4294967295 - k) + ((k * 32768) % 4294967296)) % 4294967296 AS k FROM k0),
+s2 AS (SELECT doc_id, f, j, xor(k, k // 4096) AS k FROM s1),
+s3 AS (SELECT doc_id, f, j, (k + ((k * 4) % 4294967296)) % 4294967296 AS k FROM s2),
+s4 AS (SELECT doc_id, f, j, xor(k, k // 16) AS k FROM s3),
+s5 AS (SELECT doc_id, f, j, (k * 2057) % 4294967296 AS k FROM s4),
+h AS (SELECT doc_id, f, j, xor(k, k // 65536) AS hv FROM s5),
+mn AS (SELECT doc_id, j, min(hv) AS mh FROM h GROUP BY 1, 2),
+sig AS (SELECT h.doc_id, h.j - 1 AS slot, min(h.f) AS hash
+        FROM h JOIN mn ON h.doc_id = mn.doc_id AND h.j = mn.j AND h.hv = mn.mh
+        GROUP BY 1, 2)
+"""
 
 _NGRAM_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -707,23 +744,23 @@ SELECT a AS query_id, b AS cand_id, dist2 FROM keep
 UNION ALL
 SELECT b AS query_id, a AS cand_id, dist2 FROM keep
 """,
-        "index_stats": """
-WITH toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
-feat AS (SELECT DISTINCT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS f FROM toks),
-seeds AS (SELECT unnest(range(1, 17)) AS j),
-k0 AS (SELECT doc_id, f, j, ((f + 1) * j) % 4294967296 AS k FROM feat CROSS JOIN seeds),
-s1 AS (SELECT doc_id, f, j, ((4294967295 - k) + ((k * 32768) % 4294967296)) % 4294967296 AS k FROM k0),
-s2 AS (SELECT doc_id, f, j, xor(k, k // 4096) AS k FROM s1),
-s3 AS (SELECT doc_id, f, j, (k + ((k * 4) % 4294967296)) % 4294967296 AS k FROM s2),
-s4 AS (SELECT doc_id, f, j, xor(k, k // 16) AS k FROM s3),
-s5 AS (SELECT doc_id, f, j, (k * 2057) % 4294967296 AS k FROM s4),
-h AS (SELECT doc_id, f, j, xor(k, k // 65536) AS hv FROM s5),
-mn AS (SELECT doc_id, j, min(hv) AS mh FROM h GROUP BY 1, 2),
-sig AS (SELECT h.doc_id, h.j - 1 AS slot, min(h.f) AS hash
-        FROM h JOIN mn ON h.doc_id = mn.doc_id AND h.j = mn.j AND h.hv = mn.mh
-        GROUP BY 1, 2),
+        "index_stats": _SIG16_CTE
+        + """,
 buckets AS (SELECT slot, hash, count(*) AS c FROM sig GROUP BY 1, 2)
 SELECT slot, count(*) AS n_hash_values, sum(c) AS sum_bucket, sum(c*c) AS sum_sq_bucket
 FROM buckets GROUP BY slot
+""",
+        "api_kneighbors": _SIG16_CTE
+        + """,
+q AS (SELECT * FROM sig WHERE hash <> 0 AND hash <> 4294967295),
+coll AS (SELECT q.doc_id AS query_id, i.doc_id AS cand_id, count(*) AS collisions
+         FROM q JOIN sig i
+           ON q.slot = i.slot AND q.hash = i.hash AND q.doc_id <> i.doc_id
+         GROUP BY 1, 2),
+ranked AS (SELECT query_id, cand_id, collisions,
+                  rank() OVER (PARTITION BY query_id
+                      ORDER BY collisions DESC, cand_id ASC) AS rnk
+           FROM coll)
+SELECT query_id, cand_id, collisions, rnk FROM ranked WHERE rnk <= 3
 """,
     }
