@@ -453,6 +453,36 @@ def q_api_kneighbors(spark, sf_dir):
     )
 
 
+def q_api_partial_fit(spark, sf_dir):
+    """S2 value gate: fit on half the corpus, partial_fit the rest — the
+    final index state must be IDENTICAL to one-shot fit, so this shares
+    api_kneighbors' oracle verbatim (reference append semantics,
+    sparseMatrix.h:187-231 / nearestNeighbors.cpp:78-81)."""
+    from webdedup.api import MinHashNeighbors
+
+    docs = _load(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda t: _md5_id(t))
+            )
+        ).alias("features"),
+    )
+    first = feats.where(F.pmod(F.col("id"), F.lit(2)) == 0)
+    second = feats.where(F.pmod(F.col("id"), F.lit(2)) == 1)
+    nn = MinHashNeighbors(
+        n_neighbors=3, number_of_hash_functions=16, max_bin_size=100000, fast=True
+    ).fit(first).partial_fit(second)
+    out = nn.kneighbors()
+    return out.select(
+        "query_id",
+        "cand_id",
+        F.round((1.0 - F.col("distance")) * 16).cast("long").alias("collisions"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "wang32_parity": q_wang32_parity,
@@ -479,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_covered": q_lsh_recall_covered,
         "cluster_containment": q_cluster_containment,
         "api_kneighbors": q_api_kneighbors,
+        "api_partial_fit": q_api_partial_fit,
         # rows-only (no oracle): LSH / SimHash / full pipeline / ANN
         "dedup_clusters": q_dedup_clusters,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -559,6 +590,19 @@ mn AS (SELECT doc_id, j, min(hv) AS mh FROM h GROUP BY 1, 2),
 sig AS (SELECT h.doc_id, h.j - 1 AS slot, min(h.f) AS hash
         FROM h JOIN mn ON h.doc_id = mn.doc_id AND h.j = mn.j AND h.hv = mn.mh
         GROUP BY 1, 2)
+"""
+
+_KNEIGHBORS_SQL = _SIG16_CTE + """,
+q AS (SELECT * FROM sig WHERE hash <> 0 AND hash <> 4294967295),
+coll AS (SELECT q.doc_id AS query_id, i.doc_id AS cand_id, count(*) AS collisions
+         FROM q JOIN sig i
+           ON q.slot = i.slot AND q.hash = i.hash AND q.doc_id <> i.doc_id
+         GROUP BY 1, 2),
+ranked AS (SELECT query_id, cand_id, collisions,
+                  rank() OVER (PARTITION BY query_id
+                      ORDER BY collisions DESC, cand_id ASC) AS rnk
+           FROM coll)
+SELECT query_id, cand_id, collisions, rnk FROM ranked WHERE rnk <= 3
 """
 
 _NGRAM_CTE = """
@@ -750,17 +794,8 @@ buckets AS (SELECT slot, hash, count(*) AS c FROM sig GROUP BY 1, 2)
 SELECT slot, count(*) AS n_hash_values, sum(c) AS sum_bucket, sum(c*c) AS sum_sq_bucket
 FROM buckets GROUP BY slot
 """,
-        "api_kneighbors": _SIG16_CTE
-        + """,
-q AS (SELECT * FROM sig WHERE hash <> 0 AND hash <> 4294967295),
-coll AS (SELECT q.doc_id AS query_id, i.doc_id AS cand_id, count(*) AS collisions
-         FROM q JOIN sig i
-           ON q.slot = i.slot AND q.hash = i.hash AND q.doc_id <> i.doc_id
-         GROUP BY 1, 2),
-ranked AS (SELECT query_id, cand_id, collisions,
-                  rank() OVER (PARTITION BY query_id
-                      ORDER BY collisions DESC, cand_id ASC) AS rnk
-           FROM coll)
-SELECT query_id, cand_id, collisions, rnk FROM ranked WHERE rnk <= 3
-""",
+        "api_kneighbors": _KNEIGHBORS_SQL,
+        # partial_fit must converge to the same index state as one-shot fit
+        # (reference append semantics) — the oracle is intentionally identical
+        "api_partial_fit": _KNEIGHBORS_SQL,
     }
