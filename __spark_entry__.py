@@ -453,6 +453,30 @@ def q_api_kneighbors(spark, sf_dir):
     )
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal mapInPandas plumbing, value-checked: documents' text bytes
+    stand in as opaque binary payloads (the operators never interpret them),
+    the deterministic fake decoder emits a 16-bin byte histogram, and the
+    DuckDB oracle recomputes it character-wise (testdata is pure ASCII, so
+    code point == UTF-8 byte). Counts are recovered from the float32 ratio
+    features by round(ratio * n_bytes) — exact for n_bytes < 2^20."""
+    from webdedup.multimodal import extract_features
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, dim=16)
+    cols = [
+        F.round(F.element_at("features", i + 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias(f"h{i:02d}")
+        for i in range(16)
+    ]
+    return feats.select("media_id", "n_bytes", *cols)
+
+
 def q_api_partial_fit(spark, sf_dir):
     """S2 value gate: fit on half the corpus, partial_fit the rest — the
     final index state must be IDENTICAL to one-shot fit, so this shares
@@ -510,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_containment": q_cluster_containment,
         "api_kneighbors": q_api_kneighbors,
         "api_partial_fit": q_api_partial_fit,
+        "multimodal_features": q_multimodal_features,
         # rows-only (no oracle): LSH / SimHash / full pipeline / ANN
         "dedup_clusters": q_dedup_clusters,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -798,4 +823,19 @@ FROM buckets GROUP BY slot
         # partial_fit must converge to the same index state as one-shot fit
         # (reference append semantics) — the oracle is intentionally identical
         "api_partial_fit": _KNEIGHBORS_SQL,
+        "multimodal_features": """
+WITH ch AS (
+  SELECT doc_id AS media_id, length(text) AS n_bytes,
+         unnest(list_transform(range(1, length(text) + 1),
+                i -> ascii(substring(text, CAST(i AS INT), 1)) // 16)) AS bucket
+  FROM documents),
+hist AS (
+  SELECT media_id, n_bytes, bucket, count(*) AS c FROM ch GROUP BY 1, 2, 3)
+SELECT media_id, n_bytes,
+"""
+        + ",\n".join(
+            f"       coalesce(sum(CASE WHEN bucket = {i} THEN c END), 0) AS h{i:02d}"
+            for i in range(16)
+        )
+        + "\nFROM hist GROUP BY media_id, n_bytes\n",
     }
