@@ -125,7 +125,10 @@ def run_dedup_pages(path: str, cpus: int) -> dict:
     from webdedup.pipeline import dedup
     from webdedup.session import get_spark
 
-    spark = get_spark(f"webdedup-scale-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 16))
+    # 4 waves per stage: tail tasks of a skewed stage overlap instead of
+    # serializing the last wave (16 partitions at 8 cores = 2 waves was
+    # measurably worse load balance)
+    spark = get_spark(f"webdedup-scale-{cpus}", cores=cpus, shuffle_partitions=max(4 * cpus, 16))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(path)
     n = pages.count()
@@ -156,8 +159,11 @@ def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     # variance between identical runs is large, so single-shot legs lie
     for _ in range(reps):
         for cpus in (n_low, n_high):
+            # right-sized heap: a 48g driver JVM measures 2.3x SLOWER than 8g
+            # on this host for the identical job (GC/heap-touch overhead) —
+            # size the heap to the job, don't max it out
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       WEBDEDUP_DRIVER_MEM=os.environ.get("WEBDEDUP_DRIVER_MEM", "48g"))
+                       WEBDEDUP_DRIVER_MEM=os.environ.get("WEBDEDUP_DRIVER_MEM", "8g"))
             p = subprocess.run(
                 [sys.executable, __file__, "--dedup-pages", path],
                 env=env, capture_output=True, text=True, timeout=3600,
