@@ -1,0 +1,75 @@
+"""Structured Streaming ingestion for the incremental dedup pipeline.
+
+The reference is batch-only; this is the Spark-native continuous-ingest
+face the north rule's crawl scenario implies: new page files land in a
+directory (or any readStream source), each micro-batch is committed as one
+catalog snapshot, and the checkpoint-resumable incremental engine
+(webdedup.incremental) processes it — candidates restricted to pairs
+touching new docs, clusters re-resolved over the full edge store.
+
+Streaming here is TRANSPORT, not a parallel implementation: every
+micro-batch goes through exactly the batch-tested code path
+(Catalog.append → IncrementalDedup.process), so streaming output ==
+replaying the same batches by hand (asserted in tests/test_streaming.py).
+Exactly-once: Spark's checkpointLocation dedups micro-batch replays by
+epoch id, and IncrementalDedup's state.json + rollback make a re-delivered
+batch idempotent at the store level too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from webdedup.catalog import Catalog
+from webdedup.config import DedupConfig
+from webdedup.incremental import IncrementalDedup
+
+
+class StreamingDedup:
+    """foreachBatch bridge: micro-batch → catalog snapshot → incremental run."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_root: str,
+        cfg: DedupConfig | None = None,
+        source_table: str = "pages",
+    ):
+        self.spark = spark
+        self.cfg = cfg or DedupConfig()
+        self.table = source_table
+        import os
+
+        self.source = Catalog(os.path.join(work_root, "ingest"))
+        self.engine = IncrementalDedup(spark, self.source, work_root, self.cfg)
+        self.batches_processed = 0
+
+    def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        self.source.append(self.table, batch_df)
+        self.engine.process(self.table)
+        self.batches_processed += 1
+
+    def start(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+    ):
+        """Attach to a streaming DataFrame (e.g. spark.readStream.schema(...)
+        .parquet(dir)) and run the dedup engine per micro-batch.
+
+        available_now=True drains everything currently available and stops
+        (batch-style test/backfill); False runs continuously.
+        """
+        writer = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def clusters(self) -> DataFrame:
+        return self.engine.clusters()
