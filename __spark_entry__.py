@@ -806,7 +806,7 @@ SELECT query_id, cand_id, cos_e4, rnk FROM ranked WHERE rnk <= 3
 """,
         "api_radius_euclid": _TF_CTE(min_tokens=30)
         + """,
-d2 AS (SELECT a, b, xa.xx - 2*xy + xb.xx AS dist2
+d2 AS (SELECT a, b, CAST(xa.xx - 2*xy + xb.xx AS BIGINT) AS dist2
        FROM xy JOIN xx xa ON xy.a = xa.doc_id JOIN xx xb ON xy.b = xb.doc_id),
 keep AS (SELECT * FROM d2 WHERE dist2 <= 36)
 SELECT a AS query_id, b AS cand_id, dist2 FROM keep
@@ -816,7 +816,9 @@ SELECT b AS query_id, a AS cand_id, dist2 FROM keep
         "index_stats": _SIG16_CTE
         + """,
 buckets AS (SELECT slot, hash, count(*) AS c FROM sig GROUP BY 1, 2)
-SELECT slot, count(*) AS n_hash_values, sum(c) AS sum_bucket, sum(c*c) AS sum_sq_bucket
+SELECT slot, count(*) AS n_hash_values,
+       CAST(sum(c) AS BIGINT) AS sum_bucket,
+       CAST(sum(c*c) AS BIGINT) AS sum_sq_bucket
 FROM buckets GROUP BY slot
 """,
         "api_kneighbors": _KNEIGHBORS_SQL,
@@ -834,7 +836,8 @@ hist AS (
 SELECT media_id, n_bytes,
 """
         + ",\n".join(
-            f"       coalesce(sum(CASE WHEN bucket = {i} THEN c END), 0) AS h{i:02d}"
+            f"       CAST(coalesce(sum(CASE WHEN bucket = {i} THEN c END), 0)"
+            f" AS BIGINT) AS h{i:02d}"
             for i in range(16)
         )
         + "\nFROM hist GROUP BY media_id, n_bytes\n",

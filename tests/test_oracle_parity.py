@@ -42,13 +42,25 @@ ORACLE_KEYS = sorted(E.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_query_matches_oracle(spark, ddb, name):
     q = E.queries()[name]
-    got = normalize(q(spark, SF_DIR).toPandas())
-    want = normalize(ddb.execute(E.oracle_sql()[name]).df())
+    raw_got = q(spark, SF_DIR).toPandas()
+    raw_want = ddb.execute(E.oracle_sql()[name]).df()
+    got = normalize(raw_got)
+    want = normalize(raw_want)
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # Driver hash is type-sensitive: a DuckDB HUGEINT (int128 → float64/object
+    # in pandas) where Spark emits BIGINT breaks the value hash even when the
+    # values match. Require the oracle to deliver a plain integer dtype for
+    # every Spark integer column (CAST(... AS BIGINT) in the SQL).
+    for c in raw_got.columns:
+        if raw_got[c].dtype.kind in "iu":
+            assert raw_want[c].dtype.kind in "iu", (
+                f"{name}.{c}: oracle dtype {raw_want[c].dtype} vs Spark int — "
+                f"add CAST(... AS BIGINT) to the oracle SQL"
+            )
 
 
 def test_all_queries_have_entries():
