@@ -220,16 +220,23 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 
 def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
-    """Top-k corpus tokens by frequency (deterministic (cnt desc, token) order)."""
+    """Top-k corpus tokens by frequency (deterministic (cnt desc, token) order).
+
+    `orderBy(...).limit(k)` compiles to TakeOrderedAndProject — each partition
+    keeps a local top-k heap, the driver merges k·P rows — so the full corpus
+    vocabulary (billions of distinct tokens at production scale) never sorts
+    in a single task. Ranks are then numbered over only the k surviving rows.
+    """
     counts = (
         docs.select(F.explode(_tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
         counts.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= k)
         .select("token", "cnt", "rnk")
     )
 
