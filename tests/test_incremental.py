@@ -195,3 +195,32 @@ def test_recrawled_url_with_changed_text_gets_new_identity(spark, tmp_root):
         if r["url"] in unchanged_urls:
             # identical recrawl → exact-dup edge → one cluster for both crawls
             assert r["n_clusters"] == 1, r["url"]
+
+
+def test_multi_snapshot_drain_keeps_per_snapshot_identity(spark, tmp_root):
+    """ADVICE r2 (medium): ONE process() call draining TWO pending source
+    snapshots must key each row by its ACTUAL snapshot — a url recrawled
+    with different text across the two snapshots is two crawl events with
+    two distinct doc_ids, not one id with two conflicting fingerprints."""
+    pages, _ = pages_dataframe(spark, n=40, seed=13)
+    pages = pages.select("url", "warc_ts", "text", "lang")
+    changed = pages.withColumn(
+        "text", F.concat(F.lit("revised content "), F.col("url"))
+    )
+    cat = Catalog(os.path.join(tmp_root, "src"))
+    cat.append("pages", pages)
+    cat.append("pages", changed)  # both pending before the first process()
+
+    inc = IncrementalDedup(spark, cat, os.path.join(tmp_root, "work"), CFG)
+    m = inc.process("pages")  # drains snapshots 1 and 2 together
+    assert m["source_snapshot"] == 2
+
+    docs = inc.work.read(spark, "docs")
+    assert docs.count() == 80
+    assert docs.select("doc_id").distinct().count() == 80  # no id collisions
+    # per-row lineage reflects the true snapshot, not the drain upper bound
+    per_snap = {
+        r["src_snapshot"]: r["n"]
+        for r in docs.groupBy("src_snapshot").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_snap == {1: 40, 2: 40}

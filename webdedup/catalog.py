@@ -30,6 +30,7 @@ class Snapshot:
     parent: int | None
     files: list
     ts: float
+    key: str | None = None
 
 
 class Catalog:
@@ -65,7 +66,7 @@ class Catalog:
 
     # ---- write path ----
 
-    def append(self, table: str, df: DataFrame) -> int:
+    def append(self, table: str, df: DataFrame, key: str | None = None) -> int:
         """Append rows as a new snapshot; returns the new snapshot id.
 
         Crash-safe: the parquet lands in a temp dir first and is renamed
@@ -75,10 +76,21 @@ class Catalog:
         can always be re-run (the 'safe to re-run after a crash' contract
         of incremental.py; a plain errorifexists write here would wedge
         every subsequent resume on the leftover directory).
+
+        ``key`` makes the append idempotent: if a manifested snapshot
+        already carries this key, its id is returned and nothing is
+        written. The key is committed in the same atomic manifest swap as
+        the snapshot itself, so an at-least-once producer (Structured
+        Streaming foreachBatch replaying an epoch after a crash) can never
+        double-ingest a micro-batch.
         """
         import shutil
 
         m = self._load(table)
+        if key is not None:
+            for s in m["snapshots"]:
+                if s.get("key") == key:
+                    return s["id"]
         sid = (m["current"] or 0) + 1
         snap_dir = os.path.join(self.root, table, f"snap-{sid:06d}")
         tmp_dir = snap_dir + ".inprogress"
@@ -94,7 +106,13 @@ class Catalog:
             if f.endswith(".parquet")
         )
         m["snapshots"].append(
-            {"id": sid, "parent": m["current"], "files": files, "ts": time.time()}
+            {
+                "id": sid,
+                "parent": m["current"],
+                "files": files,
+                "ts": time.time(),
+                "key": key,
+            }
         )
         m["current"] = sid
         self._store(table, m)
@@ -120,13 +138,35 @@ class Catalog:
         return spark.read.parquet(*files)
 
     def read_incremental(
-        self, spark: SparkSession, table: str, after: int | None, upto: int | None = None
+        self,
+        spark: SparkSession,
+        table: str,
+        after: int | None,
+        upto: int | None = None,
+        snapshot_col: str | None = None,
     ) -> DataFrame | None:
-        """Rows appended in snapshots (after, upto] — the incremental scan."""
+        """Rows appended in snapshots (after, upto] — the incremental scan.
+
+        ``snapshot_col`` additionally tags every row with the id of the
+        snapshot it was appended in, derived from the hidden parquet
+        ``_metadata.file_path`` column (one scan, no per-snapshot union) —
+        a multi-snapshot incremental read must be able to tell which crawl
+        event each row belongs to (doc identity is keyed (url, snapshot)).
+        """
         files = self._files_between(table, after, upto)
         if not files:
             return None
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        if snapshot_col is not None:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                snapshot_col,
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"snap-(\d+)/", 1
+                ).cast("long"),
+            )
+        return df
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self._mpath(table))

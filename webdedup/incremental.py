@@ -108,7 +108,9 @@ class IncrementalDedup:
         self._rollback_partial(st)
 
         mx = PipelineMetrics()
-        new = self.source.read_incremental(self.spark, table, after=last, upto=cur)
+        new = self.source.read_incremental(
+            self.spark, table, after=last, upto=cur, snapshot_col="src_snapshot"
+        )
         new = mx.observe(new, "pages_in")
         # doc identity = one CRAWL EVENT of a url, keyed (url, snapshot):
         # a recrawled url whose text changed must not collide with its old
@@ -116,8 +118,12 @@ class IncrementalDedup:
         # fingerprint/shingle rows under one id, corrupting verify joins and
         # cluster labels). A recrawl with identical text links to the old
         # representative through the exact-dup path like any duplicate.
+        # The snapshot in the key is each row's ACTUAL source snapshot (one
+        # process() call may drain several pending snapshots; stamping all
+        # of them with the upper bound would re-merge two crawl events of
+        # the same url into one id — the corruption this keying prevents).
         new = new.withColumn(
-            "doc_id", F.xxhash64("url", F.lit(cur).cast("string"))
+            "doc_id", F.xxhash64("url", F.col("src_snapshot").cast("string"))
         ).withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
         new.persist()
 
@@ -202,9 +208,7 @@ class IncrementalDedup:
         snap_ids = {}
         snap_ids[DOCS] = self.work.append(
             DOCS,
-            new.select("doc_id", "url", "fingerprint").withColumn(
-                "src_snapshot", F.lit(cur)
-            ),
+            new.select("doc_id", "url", "fingerprint", "src_snapshot"),
         )
         snap_ids[FEATURES] = self.work.append(
             FEATURES, feat_new.withColumn("src_snapshot", F.lit(cur))

@@ -11,9 +11,14 @@ Streaming here is TRANSPORT, not a parallel implementation: every
 micro-batch goes through exactly the batch-tested code path
 (Catalog.append → IncrementalDedup.process), so streaming output ==
 replaying the same batches by hand (asserted in tests/test_streaming.py).
-Exactly-once: Spark's checkpointLocation dedups micro-batch replays by
-epoch id, and IncrementalDedup's state.json + rollback make a re-delivered
-batch idempotent at the store level too.
+
+Exactly-once ingest on top of foreachBatch's at-least-once delivery: each
+micro-batch is appended with an idempotency key derived from (checkpoint
+location, epoch_id), committed atomically with the catalog manifest swap.
+A crash between ``source.append`` and Spark's epoch commit re-delivers the
+epoch; the keyed append recognises it and returns the already-manifested
+snapshot instead of ingesting the rows twice, and IncrementalDedup's
+state.json + rollback make the downstream processing idempotent as well.
 """
 
 from __future__ import annotations
@@ -43,11 +48,17 @@ class StreamingDedup:
         self.source = Catalog(os.path.join(work_root, "ingest"))
         self.engine = IncrementalDedup(spark, self.source, work_root, self.cfg)
         self.batches_processed = 0
+        self._checkpoint_dir: str | None = None
+
+    def _epoch_key(self, epoch_id: int) -> str:
+        # epoch ids restart at 0 for a fresh checkpoint (a new query), so
+        # the key must be scoped to the checkpoint identity
+        return f"ckpt={self._checkpoint_dir}#epoch={epoch_id}"
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        self.source.append(self.table, batch_df)
+        self.source.append(self.table, batch_df, key=self._epoch_key(epoch_id))
         self.engine.process(self.table)
         self.batches_processed += 1
 
@@ -63,6 +74,7 @@ class StreamingDedup:
         available_now=True drains everything currently available and stops
         (batch-style test/backfill); False runs continuously.
         """
+        self._checkpoint_dir = checkpoint_dir
         writer = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", checkpoint_dir)
