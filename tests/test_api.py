@@ -280,3 +280,23 @@ def test_to_local_arrays_padding(spark, data):
     ids, dists = nn.to_local_arrays(nn.kneighbors(), k=4)
     assert all(len(r) == 4 for r in ids)
     assert all(len(r) == 4 for r in dists)
+
+
+def test_mixed_values_presence_raises(spark):
+    """ADVICE r2: fitting valued data then querying with a values-less X
+    (or vice versa) must fail loudly — euclidean/cosine between weighted
+    candidates and implicitly-binary queries is silently inconsistent."""
+    import pytest as _pytest
+    from webdedup.api import MinHashNeighbors
+
+    valued = spark.createDataFrame(
+        [(i, [1, 2, 3, i + 10], [1.0, 2.0, 1.0, 3.0]) for i in range(8)],
+        "id long, features array<long>, values array<double>",
+    )
+    plain = valued.select("id", "features")
+    nn = MinHashNeighbors(number_of_hash_functions=16).fit(valued)
+    with _pytest.raises(ValueError, match="has_values"):
+        nn.kneighbors(plain, n_neighbors=2).collect()
+    nn2 = MinHashNeighbors(number_of_hash_functions=16).fit(plain)
+    # jaccard (presence-only) ignores values → no error by design
+    nn2.kneighbors(plain, n_neighbors=2)

@@ -425,6 +425,18 @@ class MinHashNeighbors:
         """Attach the exact metric value as 'distance' to (query_id, cand_id)
         pairs — the shared core of Q7/Q9 refinement and Q5 radius filtering."""
         metric = self._resolved_metric()
+        q_has_values = "values" in query_feat.columns
+        if metric in ("euclidean", "cosine") and q_has_values != self._has_values:
+            # mirrors the reference's single-CSR-format contract: fit and
+            # query share one (indices, data) layout. Silently substituting
+            # ones for the missing side computes euclidean/cosine between
+            # weighted candidates and implicitly-binary queries — plausible-
+            # looking but inconsistent vectors (ADVICE r2).
+            raise ValueError(
+                f"fit data has_values={self._has_values} but query data "
+                f"has_values={q_has_values}; {metric} needs one consistent "
+                "CSR format — add/drop the 'values' column on the query side"
+            )
         udf = _metric_udf(metric)
         null_vals = F.lit(None).cast("array<double>")
         qf = query_feat.select(

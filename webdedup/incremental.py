@@ -242,6 +242,12 @@ class IncrementalDedup:
         new.unpersist()
         feat_new.unpersist()
         feat_all.unpersist()
+        # every output is on disk by now; drop the run's tracked caches so a
+        # long-lived driver (streaming continuous mode) doesn't accumulate
+        # MEMORY_AND_DISK blocks per micro-batch without bound (ADVICE r2)
+        from webdedup.joins import release_persisted
+
+        release_persisted()
         return metrics
 
     def _new_touching_pairs(

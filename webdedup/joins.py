@@ -19,6 +19,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+#: frames persisted by pipeline helpers, pending release. A long-running
+#: driver (StreamingDedup's continuous mode, a bench loop) would otherwise
+#: accumulate MEMORY_AND_DISK blocks per micro-batch/rep without bound —
+#: blocks evicted to disk are never freed until session shutdown.
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() + register for a later bulk release_persisted()."""
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+
+    Call only at a point where all results derived from tracked caches have
+    been fully materialized (outputs written / collected) — a lazy frame
+    consumed afterwards recomputes instead of reading the cache (correct,
+    just slower). IncrementalDedup.process, StreamingDedup micro-batches,
+    and the CLI call this at end-of-run.
+    """
+    n = len(_TRACKED)
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped / frame gone — release is best-effort
+    _TRACKED.clear()
+    return n
+
 
 def semi_join_ids(
     df: DataFrame,
@@ -31,7 +63,7 @@ def semi_join_ids(
     ``ids`` must be a single-column (or key-containing) DataFrame; it is
     persisted so the gating count and the join share one computation.
     """
-    ids = ids.persist()
+    ids = track_persist(ids)
     n = ids.count()
     if n <= max_broadcast_ids:
         return df.join(F.broadcast(ids), key, "left_semi")

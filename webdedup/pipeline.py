@@ -38,7 +38,7 @@ def _profiler():
 from webdedup import lsh, verify
 from webdedup.components import connected_components
 from webdedup.config import DedupConfig
-from webdedup.joins import semi_join_ids
+from webdedup.joins import semi_join_ids, track_persist
 from webdedup.signatures import featurize
 from webdedup.substring import substring_pairs
 
@@ -82,7 +82,7 @@ def dedup(
             "doc_id", F.xxhash64(F.col(id_src))
         )
     docs = docs.withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
-    docs.persist()
+    track_persist(docs)
     # Narrow-column exact-dup collapse: the groupBy and every join below
     # move only (fingerprint, doc_id) — the wide text column never shuffles.
     # uniq is carved out of the cached docs scan with a size-gated semi-join
@@ -97,7 +97,7 @@ def dedup(
     uniq = semi_join_ids(
         docs, rep_ids, "doc_id", cfg.broadcast_id_limit
     ).select("doc_id", text_col)
-    uniq.persist()
+    track_persist(uniq)
     probe("uniq", uniq)
 
     # ---- stage 1: featurize unique docs (Arrow-vectorized kernels)
@@ -109,7 +109,7 @@ def dedup(
     # scheduled stages would otherwise race past the cold cache and re-run
     # the featurize UDF once per branch
     t0 = time.perf_counter()
-    feat.persist().count()
+    track_persist(feat).count()
     if os.environ.get("WEBDEDUP_PROFILE"):
         print(f"[profile] featurize: {time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -148,7 +148,7 @@ def dedup(
         )
     )
     edges = all_pairs.unionByName(exact_edges)
-    edges.persist()
+    track_persist(edges)
     probe("edges", edges)
 
     # ---- stage 6: connected components → cluster ids

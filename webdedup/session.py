@@ -11,6 +11,8 @@ def get_spark(
     app_name: str = "webdedup",
     cores: int | str | None = None,
     shuffle_partitions: int = 32,
+    advisory_partition_size: str = "4m",
+    min_partition_size: str = "1m",
     extra: dict | None = None,
 ) -> SparkSession:
     """Local session tuned for the dedup pipeline.
@@ -18,6 +20,12 @@ def get_spark(
     On a real cluster these configs ship unchanged via spark-submit --conf;
     AQE + skew-join stay on so hot LSH buckets that survive salting are still
     split at runtime.
+
+    ``advisory_partition_size`` / ``min_partition_size`` default to small
+    values that keep every local core fed at test/bench corpus sizes; at
+    production shuffle volumes pass Spark's own defaults ("64m" / "1m") —
+    a 4m advisory size there multiplies post-shuffle partition counts ~16x,
+    inflating task-scheduling and small-file overhead for no benefit.
     """
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     b = (
@@ -27,12 +35,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # at bench scale the default 64m advisory size coalesces small
-        # shuffles to 1-2 tasks, capping parallelism well below the core
-        # count (at production partition sizes this never binds) — keep
-        # coalesced partitions small enough to feed every core
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            advisory_partition_size,
+        )
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            min_partition_size,
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

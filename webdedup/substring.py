@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from webdedup.config import DedupConfig
-from webdedup.joins import semi_join_ids
+from webdedup.joins import semi_join_ids, track_persist
 from webdedup.signatures import make_substring_fp_udf
 
 
@@ -33,7 +33,7 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
     )
     # persist: the Python-UDF fingerprints feed both the hot-count agg and
     # the self-join — without it the UDF runs once per consumer
-    rows = rows.persist()
+    rows = track_persist(rows)
     # kill hot fingerprints (boilerplate) — same tombstone idea as LSH
     # buckets. The hot list is tiny ⇒ broadcast ANTI-join; joining against
     # the non-hot list instead would shuffle the full exploded table twice.
@@ -82,7 +82,7 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
     # (webdedup.joins) keeps the two text shuffles proportional to
     # candidates, not corpus, and degrades to a shuffle join instead of
     # OOMing when candidate volume outgrows the limit.
-    shared = shared.persist()
+    shared = track_persist(shared)
     pair_ids = (
         shared.select(F.col("a").alias("doc_id"))
         .union(shared.select(F.col("b").alias("doc_id")))

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from webdedup.joins import track_persist
+
 PPM = 1_000_000
 
 LANG_MARKERS = {
@@ -107,7 +109,7 @@ def ngram_jaccard_pairs(
         # persist: the exploded gram rows feed the hot-count agg, the sizes
         # agg, and BOTH sides of the self-join — four gram-construction
         # passes without it
-        rows = rows.persist()
+        rows = track_persist(rows)
         hot = (
             rows.groupBy("gram")
             .agg(F.count("*").alias("c"))

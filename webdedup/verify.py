@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from webdedup.joins import semi_join_ids
+from webdedup.joins import semi_join_ids, track_persist
 
 
 @pandas_udf(DoubleType())
@@ -42,7 +42,7 @@ def attach_shingles(
     # semi-join, webdedup.joins): the two wide shingle-blob joins then
     # shuffle only candidate rows, not the whole corpus; above the limit the
     # semi-join degrades to a shuffle instead of OOMing on a forced hint
-    pairs = pairs.persist()
+    pairs = track_persist(pairs)
     pair_ids = (
         pairs.select(F.col("a").alias("doc_id"))
         .union(pairs.select(F.col("b").alias("doc_id")))
