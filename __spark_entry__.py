@@ -235,6 +235,68 @@ def q_cosine_ann_ivf(spark, sf_dir):
     return ann.ivf_topk(emb, dim=dim, k=5, n_cells=64, nprobe=48)
 
 
+_TWIN_OFFSET = 10_000_000
+_TWIN_ALPHA = 0.002  # twin = v + α·reverse(v) ⇒ cos(v, twin) ≥ (1-α)/(1+α) ≈ 0.996
+
+
+def _planted_twins(spark, sf_dir):
+    """(base+twin vectors, planted pair list) for the ANN recall gates.
+
+    The testdata embeddings are uniform-random (no high-cos pairs exist), so
+    a containment oracle over natural pairs would be vacuously empty. Plant
+    one analytically-near twin per vector: cos(v, v + α·rev(v)) ≥ (1-α)/(1+α)
+    even in the adversarial v·rev(v) = -|v|² case, so every planted pair is
+    a true near-neighbor by construction, while background pairs stay ~0.33.
+    The pair list is pure integer arithmetic — both engines enumerate it
+    without touching floats."""
+    emb = _load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twin = base.select(
+        (F.col("vec_id") + _TWIN_OFFSET).alias("vec_id"),
+        F.zip_with(
+            "embedding",
+            F.reverse("embedding"),
+            lambda x, y: x + F.lit(_TWIN_ALPHA) * y,
+        ).alias("embedding"),
+    )
+    planted = base.select(
+        F.col("vec_id").alias("a"), (F.col("vec_id") + _TWIN_OFFSET).alias("b")
+    )
+    return base.unionByName(twin), planted
+
+
+def _covered_pairs(planted, out):
+    found = out.select(
+        F.least("vec_id", "nn_id").alias("a"),
+        F.greatest("vec_id", "nn_id").alias("b"),
+    ).dropDuplicates(["a", "b"])
+    return planted.join(found, ["a", "b"], "left_semi")
+
+
+def q_ann_ivf_recall_covered(spark, sf_dir):
+    """IVF ANN recall gate as a value-checked row set (mirrors
+    lsh_recall_covered): every planted near-twin pair that the IVF index
+    retrieves. Equal to the oracle's full planted set ⟺ recall = 1.0 on
+    true near-neighbors at the headline n_cells=64/nprobe=48 config."""
+    vecs, planted = _planted_twins(spark, sf_dir)
+    dim = len(vecs.select("embedding").first()[0])
+    out = ann.ivf_topk(vecs, dim=dim, k=5, n_cells=64, nprobe=48)
+    return _covered_pairs(planted, out)
+
+
+def q_ann_lsh_recall_covered(spark, sf_dir):
+    """Sign-LSH ANN recall gate: every planted near-twin pair (cos ≥ 0.996
+    ⇒ per-bit agreement ≥ 0.971 ⇒ analytic recall 1-(1-p^6)^8 ≈ 1-4e-7)
+    retrieved by the multi-table hyperplane index. Oracle = full planted
+    set ⟺ recall = 1.0 on true near-neighbors."""
+    vecs, planted = _planted_twins(spark, sf_dir)
+    dim = len(vecs.select("embedding").first()[0])
+    out = ann.cosine_topk_lsh(vecs, dim=dim, k=5)
+    return _covered_pairs(planted, out)
+
+
 def q_substring_pairs(spark, sf_dir):
     """Winnowed-Rabin exact-substring candidate+verify pass (north-rule extra).
 
@@ -535,6 +597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_kneighbors": q_api_kneighbors,
         "api_partial_fit": q_api_partial_fit,
         "multimodal_features": q_multimodal_features,
+        "ann_ivf_recall_covered": q_ann_ivf_recall_covered,
+        "ann_lsh_recall_covered": q_ann_lsh_recall_covered,
         # rows-only (no oracle): LSH / SimHash / full pipeline / ANN
         "dedup_clusters": q_dedup_clusters,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -822,6 +886,15 @@ SELECT slot, count(*) AS n_hash_values,
 FROM buckets GROUP BY slot
 """,
         "api_kneighbors": _KNEIGHBORS_SQL,
+        # ANN recall gates: the Spark side semi-joins the planted near-twin
+        # pair list to the index output; equality with the full planted set
+        # ⟺ recall 1.0 (pure integer pair enumeration — no float hashing)
+        "ann_ivf_recall_covered": (
+            f"SELECT vec_id AS a, vec_id + {_TWIN_OFFSET} AS b FROM embeddings"
+        ),
+        "ann_lsh_recall_covered": (
+            f"SELECT vec_id AS a, vec_id + {_TWIN_OFFSET} AS b FROM embeddings"
+        ),
         # partial_fit must converge to the same index state as one-shot fit
         # (reference append semantics) — the oracle is intentionally identical
         "api_partial_fit": _KNEIGHBORS_SQL,

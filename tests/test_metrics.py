@@ -190,6 +190,27 @@ def test_fused_radius_entry_points(spark, valued):
     assert g.count() > 0
 
 
+def test_fused_kneighbors_graph_entry(spark, valued):
+    """Reference exposes the graph-fused fit variant too
+    (nearestNeighbors_PythonInterface.cpp:265-363 family); fused must equal
+    fit-then-graph."""
+    _, df = valued
+    kwargs = dict(number_of_hash_functions=32, max_bin_size=10_000,
+                  metric="jaccard")
+    fused = MinHashNeighbors(**kwargs).fit_kneighbors_graph(
+        df, n_neighbors=3, mode="distance", symmetric=True
+    )
+    staged = (
+        MinHashNeighbors(**kwargs)
+        .fit(df)
+        .kneighbors_graph(None, 3, mode="distance", symmetric=True)
+    )
+    assert set(fused.columns) == {"src", "dst", "weight"}
+    got = sorted((r.src, r.dst, round(r.weight, 9)) for r in fused.collect())
+    want = sorted((r.src, r.dst, round(r.weight, 9)) for r in staged.collect())
+    assert got == want and len(got) > 0
+
+
 # ---------------------------------------------------------------------------
 # WTA value weighting
 # ---------------------------------------------------------------------------

@@ -640,6 +640,14 @@ class MinHashNeighbors:
         """Q11 fused fit + self-query."""
         return self.fit(X).kneighbors(None, n_neighbors)
 
+    def fit_kneighbors_graph(
+        self, X: DataFrame, n_neighbors: int | None = None,
+        mode: str = "distance", symmetric: bool = True,
+    ) -> DataFrame:
+        """Fused fit + k-NN self-graph
+        (nearestNeighbors_PythonInterface.cpp:265-363 family)."""
+        return self.fit(X).kneighbors_graph(None, n_neighbors, mode, symmetric)
+
     def fit_radius_neighbors(self, X: DataFrame, radius: float | None = None) -> DataFrame:
         """Fused fit + radius self-query
         (nearestNeighbors_PythonInterface.cpp:388)."""
