@@ -36,10 +36,18 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_bench(sf_dir: str, cpus: int) -> dict:
-    from pyspark.sql import functions as F
+def run_bench(sf_dir: str, cpus: int, reps: int = 3) -> dict:
+    """Headline queries, ``reps`` interleaved repetitions, per-query MEDIANS.
 
+    This host's wall-clock variance between identical runs is documented at
+    up to ±50% (BASELINE.md); a single-shot suite measures the hypervisor,
+    not the engine (VERDICT r2: the recorded r2 artifact regressed while
+    every at-scale measurement improved). Caches and tracked persists are
+    dropped between reps so each rep does the full work.
+    """
     import __spark_entry__ as E
+    from webdedup.joins import release_persisted
+    from webdedup.pipeline import dedup
     from webdedup.session import get_spark
 
     spark = get_spark(
@@ -49,49 +57,58 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    # JIT/codegen warmup: first pipeline run in a fresh JVM is ~1.7x slower
+    dedup(docs.limit(2000), E.CFG, id_col="doc_id").clusters.count()
+    spark.catalog.clearCache()
+    release_persisted()
 
-    timings: dict[str, float] = {}
-
-    def timed(name: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        return out
-
-    # headline: full dedup pipeline (read → featurize → LSH → verify → CC)
     def _dedup():
-        from webdedup.pipeline import dedup
-
         res = dedup(
             spark.read.parquet(f"{sf_dir}/documents.parquet"), E.CFG, id_col="doc_id"
         )
         return res.clusters.count()
 
-    timed("q_dedup_e2e", _dedup)
+    suite = [
+        # headline: full dedup pipeline (read → featurize → LSH → verify → CC)
+        ("q_dedup_e2e", _dedup),
+        ("q_lsh_candidates", lambda: E.q_lsh_candidate_pairs(spark, sf_dir).count()),
+        ("q_ngram_jaccard", lambda: E.q_ngram_jaccard_pairs(spark, sf_dir).count()),
+        # ANN headline = the IVF scale path (recall@5 >= 0.95 vs brute, gated
+        # in tests/test_ann.py); the brute crossJoin stays oracle-only
+        ("q_cosine_ann_ivf", lambda: E.q_cosine_ann_ivf(spark, sf_dir).count()),
+        ("q_simhash", lambda: E.q_simhash_fingerprints(spark, sf_dir).count()),
+        ("q_token_topk", lambda: E.q_token_topk(spark, sf_dir).count()),
+    ]
 
-    # supporting operators
-    timed(
-        "q_lsh_candidates",
-        lambda: E.q_lsh_candidate_pairs(spark, sf_dir).count(),
-    )
-    timed(
-        "q_ngram_jaccard",
-        lambda: E.q_ngram_jaccard_pairs(spark, sf_dir).count(),
-    )
-    # ANN headline = the IVF scale path (recall@5 >= 0.95 vs brute, gated in
-    # tests/test_ann.py); the brute crossJoin stays oracle-only
-    timed("q_cosine_ann_ivf", lambda: E.q_cosine_ann_ivf(spark, sf_dir).count())
-    timed("q_simhash", lambda: E.q_simhash_fingerprints(spark, sf_dir).count())
-    timed("q_token_topk", lambda: E.q_token_topk(spark, sf_dir).count())
+    all_reps: list[dict[str, float]] = []
+    for _ in range(max(1, reps)):
+        timings: dict[str, float] = {}
+        for name, fn in suite:
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        all_reps.append(timings)
+        spark.catalog.clearCache()
+        release_persisted()
 
-    total = round(sum(timings.values()), 3)
-    dedup_sec = timings["q_dedup_e2e"]
+    def med(vals):
+        v = sorted(vals)
+        return v[len(v) // 2]
+
+    medians = {
+        name: med([r[name] for r in all_reps]) for name, _ in suite
+    }
+    total = round(sum(medians.values()), 3)
+    dedup_sec = medians["q_dedup_e2e"]
     result = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": medians,
+        "reps": len(all_reps),
+        "rep_timings": all_reps,
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "n_docs": n_docs,

@@ -170,3 +170,17 @@ class Catalog:
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self._mpath(table))
+
+    def row_count(
+        self, table: str, after: int | None = None, upto: int | None = None
+    ) -> int:
+        """Rows appended in snapshots (after, upto] from parquet footers —
+        no Spark job (the Iceberg analogue reads the snapshot's manifest
+        stats). Used to bound id-set sizes for broadcast gating without a
+        blocking count() action."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in self._files_between(table, after, upto)
+        )

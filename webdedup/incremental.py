@@ -150,8 +150,16 @@ class IncrementalDedup:
         uniq_ids = w.where(F.col("doc_id") == F.col("rep")).select("doc_id")
         # size-gated broadcast semi-join: broadcasts the batch-sized id set,
         # degrades to a shuffle join above cfg.broadcast_id_limit
+        # footer-derived size bounds: |uniq_ids| <= batch rows, and the
+        # verify/substring id sets are bounded by the full features corpus
+        # (store + batch) — skips the blocking gating counts when they
+        # already clear the broadcast limit (see webdedup.joins)
+        n_batch = self.source.row_count(table, after=last, upto=cur)
+        n_corpus = n_batch + (
+            self.work.row_count(DOCS) if self.work.exists(DOCS) else 0
+        )
         uniq_new = semi_join_ids(
-            new, uniq_ids, "doc_id", cfg.broadcast_id_limit
+            new, uniq_ids, "doc_id", cfg.broadcast_id_limit, known_max=n_batch
         ).select("doc_id", text_col)
         exact_edges = w.where(F.col("doc_id") != F.col("rep")).select(
             F.col("rep").alias("a"),
@@ -182,13 +190,15 @@ class IncrementalDedup:
 
         cand = self._new_touching_pairs(feat_new, feat_all, cfg)
         cand = mx.observe(cand, "candidates", F.count(F.lit(1)).alias("candidate_pairs"))
-        near = verify.verified_pairs(cand, feat_all, cfg.jaccard_threshold, cfg.broadcast_id_limit).withColumn(
-            "kind", F.lit("near")
-        )
+        near = verify.verified_pairs(
+            cand, feat_all, cfg.jaccard_threshold, cfg.broadcast_id_limit,
+            known_max=n_corpus,
+        ).withColumn("kind", F.lit("near"))
         if cfg.use_substring_pass:
             new_ids = feat_new.select("doc_id")
             sub = substring_pairs(
-                feat_all.select("doc_id", text_col), cfg, text_col=text_col
+                feat_all.select("doc_id", text_col), cfg, text_col=text_col,
+                known_max=n_corpus,
             )
             sub = (
                 sub.join(new_ids.withColumnRenamed("doc_id", "a"), "a", "left_semi")

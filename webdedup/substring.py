@@ -16,7 +16,10 @@ from webdedup.joins import semi_join_ids, track_persist
 from webdedup.signatures import make_substring_fp_udf
 
 
-def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+def substring_pairs(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text",
+    known_max: int | None = None,
+) -> DataFrame:
     """(a, b, jaccard=1.0) pairs where one doc's text contains the other's.
 
     df needs (doc_id, text). Candidates: docs sharing >= min_shared winnowed
@@ -93,6 +96,7 @@ def substring_pairs(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> 
         pair_ids,
         "doc_id",
         cfg.broadcast_id_limit,
+        known_max=known_max,
     )
     return (
         shared.join(texts.select(F.col("doc_id").alias("a"), F.col("_t").alias("t_a")), "a")

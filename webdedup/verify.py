@@ -18,7 +18,18 @@ from webdedup.joins import semi_join_ids, track_persist
 
 @pandas_udf(DoubleType())
 def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Exact Jaccard over packed-uint32 shingle blobs (sorted unique)."""
+    """Exact Jaccard over packed-uint32 shingle blobs (sorted unique).
+
+    Per-pair ``np.intersect1d`` on purpose — measured against a fully
+    vectorized whole-batch kernel (concat both sides keyed pair_id<<32|value,
+    one stable sort, adjacent-duplicate bincount) and a per-pair
+    ``searchsorted`` variant under 1-32 concurrent worker processes
+    (BASELINE.md round 3): the loop wins at every concurrency level and the
+    gap WIDENS with workers (1740k vs 206k pairs/s at 32 workers). The batch
+    kernel streams ~MBs of temporaries per batch through DRAM while the
+    per-pair arrays stay L1/L2-resident — same bandwidth argument as
+    kernels.py substring_fingerprints_batch.
+    """
     import numpy as np
 
     out = np.empty(len(a), dtype=np.float64)
@@ -35,7 +46,8 @@ def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def attach_shingles(
-    pairs: DataFrame, feat: DataFrame, max_broadcast_ids: int = 2_000_000
+    pairs: DataFrame, feat: DataFrame, max_broadcast_ids: int = 2_000_000,
+    known_max: int | None = None,
 ) -> DataFrame:
     """Join (a, b) pairs to both sides' shingle arrays."""
     # narrow feat to ids that appear in a pair first (size-gated broadcast
@@ -53,6 +65,7 @@ def attach_shingles(
         pair_ids,
         "doc_id",
         max_broadcast_ids,
+        known_max=known_max,
     )
     return (
         pairs.join(
@@ -76,6 +89,7 @@ def attach_shingles(
 def verified_pairs(
     pairs: DataFrame, feat: DataFrame, threshold: float,
     max_broadcast_ids: int = 2_000_000,
+    known_max: int | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for candidate pairs passing the exact-Jaccard gate.
 
@@ -84,7 +98,7 @@ def verified_pairs(
     Python kernel (the analogue of the reference's precomputed dot products,
     sparseMatrix.h:60-123).
     """
-    w = attach_shingles(pairs, feat, max_broadcast_ids)
+    w = attach_shingles(pairs, feat, max_broadcast_ids, known_max=known_max)
     size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
     return (
         w.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
