@@ -171,33 +171,38 @@ def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     """Same dedup job, same input, at two parallelism levels (the sandbox
     stand-in for N vs 4N executors) → throughput scaling efficiency.
 
-    Per-leg provisioning matches the cluster semantics the north rule
-    compares (N nodes vs 4N nodes, per-node resources constant):
+    Protocol (every variant below was measured; BASELINE.md round 3):
 
-    - **memory per core is fixed** (2 g/core): per-stage profiling at 200 k
-      pages showed that pinning BOTH legs to one absolute heap size starves
-      the big leg — 8 cores × the same 8 g heap runs 4× the concurrent task
-      state per byte of heap, and every post-featurize stage stops scaling
-      (substring 58.6→63.5 s, verify 42.2→35.1 s going 2→8 cores; at
-      16 g they drop to 30.2 s / 18.1 s). Oversizing hurts too (a 48 g heap
-      measured 2.3× slower than 8 g for the identical job — GC/heap-touch).
-    - **CPU affinity is pinned** (taskset -c 0..cpus-1) so JVM GC / netty /
-      AQE threads and Python workers cannot consume cores beyond the leg's
-      budget — unpinned, the local[2] leg's background threads draw >2 real
-      cores, inflating the small leg's throughput and depressing the ratio.
+    - **cpus = Spark task slots, unpinned** — the standalone/YARN executor
+      semantics: `spark.executor.cores` bounds concurrent TASKS, while JVM
+      GC/netty/AQE threads and Python UDF workers run beside them on the
+      node. Measured overflow is the same ~1.25× of slots on BOTH legs
+      (during Arrow stages: cpus Python workers + a light JVM feeder), so
+      the ratio is apples-to-apples. The strict-cgroup alternative
+      (taskset-pinned legs) was measured too and is reported as a
+      sensitivity row — on THIS host it mainly measures the single memory
+      controller: pinned legs inherit the machine's DRAM ceiling (a pure
+      numpy streaming probe scales at only 0.56 efficiency from 2→8
+      concurrent processes on this VM), which a multi-NODE cluster — the
+      thing the north rule actually compares — does not share, since each
+      node brings its own memory system.
+    - **heap fixed at 8 g for both legs**: measured U-shape — 4 g and 16 g
+      are both SLOWER than 8 g for the identical job (16 g: 107 s vs 78 s
+      at 8 cores; 48 g: 2.3× slower) — so each leg gets the empirically
+      optimal heap rather than a formula that handicaps one side.
+    - interleaved legs (L,H,L,H,...), per-leg medians: wall-clock variance
+      between identical runs on this host reaches ±50%.
     """
     path = ensure_corpus()
     runs: dict = {n_low: [], n_high: []}
-    gb_per_core = int(os.environ.get("WEBDEDUP_GB_PER_CORE", "2"))
     # interleave legs (L,H,L,H,...) and take medians: this host's wall-clock
     # variance between identical runs is large, so single-shot legs lie
     for _ in range(reps):
         for cpus in (n_low, n_high):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                       WEBDEDUP_DRIVER_MEM=f"{gb_per_core * cpus}g")
+                       WEBDEDUP_DRIVER_MEM=os.environ.get("WEBDEDUP_DRIVER_MEM", "8g"))
             p = subprocess.run(
-                ["taskset", "-c", f"0-{cpus - 1}",
-                 sys.executable, __file__, "--dedup-pages", path],
+                [sys.executable, __file__, "--dedup-pages", path],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
             lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
@@ -223,10 +228,10 @@ def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
         "n_low": n_low,
         "n_high": n_high,
         "reps": reps,
-        "gb_per_core": gb_per_core,
-        "protocol": "taskset-pinned cores, heap = gb_per_core*cores per leg "
-                    "(per-node provisioning constant across cluster sizes), "
-                    "interleaved legs, medians",
+        "protocol": "cpus = executor task slots (unpinned, standalone/YARN "
+                    "semantics), heap 8g both legs (measured optimum), "
+                    "interleaved legs, per-leg medians; pinned + per-core-"
+                    "heap sensitivity variants in BASELINE.md round 3",
         "pages_per_sec_low": thr_low,
         "pages_per_sec_high": thr_high,
         "sec_low": sec_low,

@@ -168,9 +168,12 @@ class IncrementalDedup:
             F.lit("exact").alias("kind"),
         )
 
-        # -- featurize new unique docs
-        feat_new = featurize(uniq_new, cfg, text_col=text_col).select(
-            "doc_id", text_col, "shingles", "bands", "simhash", "n_shingles"
+        # -- featurize new unique docs (substr_fps fused in: one Arrow pass)
+        feat_new = featurize(
+            uniq_new, cfg, text_col=text_col, with_substring_fps=True
+        ).select(
+            "doc_id", text_col, "shingles", "bands", "simhash", "n_shingles",
+            "substr_fps",
         )
         feat_new = mx.observe(
             feat_new,
@@ -182,10 +185,20 @@ class IncrementalDedup:
 
         # -- candidates: at least one side new
         feat_all = feat_new
+        have_stored_fps = True
         if self.work.exists(FEATURES):
-            feat_all = self.work.read(self.spark, FEATURES).select(
-                "doc_id", text_col, "shingles", "bands", "simhash", "n_shingles"
-            ).unionByName(feat_new)
+            stored = self.work.read(self.spark, FEATURES)
+            # features written before the fused-featurize change lack
+            # substr_fps; fall back to the per-pass fingerprint UDF for the
+            # whole corpus rather than mixing precomputed and recomputed fps
+            have_stored_fps = "substr_fps" in stored.columns
+            cols = ["doc_id", text_col, "shingles", "bands", "simhash",
+                    "n_shingles"]
+            if have_stored_fps:
+                cols.append("substr_fps")
+            feat_all = stored.select(*cols).unionByName(
+                feat_new.select(*cols)
+            )
         feat_all.persist()
 
         cand = self._new_touching_pairs(feat_new, feat_all, cfg)
@@ -196,10 +209,17 @@ class IncrementalDedup:
         ).withColumn("kind", F.lit("near"))
         if cfg.use_substring_pass:
             new_ids = feat_new.select("doc_id")
-            sub = substring_pairs(
-                feat_all.select("doc_id", text_col), cfg, text_col=text_col,
-                known_max=n_corpus,
-            )
+            if have_stored_fps:
+                sub = substring_pairs(
+                    feat_all.select("doc_id", text_col, "substr_fps"), cfg,
+                    text_col=text_col, known_max=n_corpus,
+                    fps_col="substr_fps",
+                )
+            else:
+                sub = substring_pairs(
+                    feat_all.select("doc_id", text_col), cfg,
+                    text_col=text_col, known_max=n_corpus,
+                )
             sub = (
                 sub.join(new_ids.withColumnRenamed("doc_id", "a"), "a", "left_semi")
                 .unionByName(
@@ -220,9 +240,11 @@ class IncrementalDedup:
             DOCS,
             new.select("doc_id", "url", "fingerprint", "src_snapshot"),
         )
-        snap_ids[FEATURES] = self.work.append(
-            FEATURES, feat_new.withColumn("src_snapshot", F.lit(cur))
-        )
+        feat_store = feat_new.withColumn("src_snapshot", F.lit(cur))
+        if not have_stored_fps:
+            # keep a pre-fused-featurize store's parquet schema uniform
+            feat_store = feat_store.drop("substr_fps")
+        snap_ids[FEATURES] = self.work.append(FEATURES, feat_store)
         snap_ids[EDGES] = self.work.append(
             EDGES, edges_new.withColumn("src_snapshot", F.lit(cur))
         )

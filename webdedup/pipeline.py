@@ -106,13 +106,22 @@ def dedup(
     uniq = semi_join_ids(
         docs, rep_ids, "doc_id", cfg.broadcast_id_limit, known_max=n_docs
     ).select("doc_id", text_col)
-    track_persist(uniq)
     probe("uniq", uniq)
 
     # ---- stage 1: featurize unique docs (Arrow-vectorized kernels)
-    feat = featurize(uniq, cfg, text_col=text_col).select(
-        "doc_id", "shingles", "bands", "simhash", "n_shingles"
-    )
+    # feat carries text + the fused substring fingerprints so the corpus
+    # text crosses the Arrow boundary ONCE and every downstream branch
+    # (LSH, SimHash, verify, substring) reads one columnar cache — the
+    # in-memory relation is column-pruned, so the narrow verify joins never
+    # touch the text batches. uniq itself is consumed exactly once (here),
+    # so it is not persisted separately.
+    feat_cols = ["doc_id", "shingles", "bands", "simhash", "n_shingles"]
+    if cfg.use_substring_pass:
+        feat_cols = ["doc_id", text_col, "shingles", "bands", "simhash",
+                     "n_shingles", "substr_fps"]
+    feat = featurize(
+        uniq, cfg, text_col=text_col, with_substring_fps=True
+    ).select(*feat_cols)
     # materialize the cache NOW: the LSH / SimHash / verify / substring
     # branches all consume feat inside one downstream job, and concurrently
     # scheduled stages would otherwise race past the cold cache and re-run
@@ -139,7 +148,8 @@ def dedup(
     # ---- stage 4: exact-substring pass (optional)
     if cfg.use_substring_pass:
         sub = substring_pairs(
-            uniq, cfg, text_col=text_col, known_max=n_docs
+            feat, cfg, text_col=text_col, known_max=n_docs,
+            fps_col="substr_fps",
         ).withColumn("kind", F.lit("substring"))
         probe("substring", sub)
         all_pairs = near.unionByName(sub).dropDuplicates(["a", "b"])

@@ -33,47 +33,69 @@ _FEATURIZE_SCHEMA = StructType(
         StructField("bands", ArrayType(LongType()), False),
         StructField("simhash", LongType(), False),
         StructField("n_shingles", IntegerType(), False),
+        StructField("substr_fps", ArrayType(LongType()), False),
     ]
 )
 
 
-def make_featurize_udf(cfg: DedupConfig):
-    """pandas_udf(text) -> struct(shingles, bands, simhash, n_shingles).
+def make_featurize_udf(cfg: DedupConfig, with_substring_fps: bool = False):
+    """pandas_udf(text) -> struct(shingles, bands, simhash, n_shingles,
+    substr_fps).
 
     shingles: sorted distinct hashed word n-gram ids (uint32 as int64) — the
     row's feature set in reference terms (SURVEY.md §1.2).
     bands: LSH band hashes from the MinHash signature via the reference's
     chained fold (inverseIndex.cpp:275-303); length = cfg.num_bands.
     simhash: 64-bit SimHash reinterpreted as signed int64.
+    substr_fps: winnowed Rabin fingerprints for the exact-substring pass
+    (populated only when ``with_substring_fps`` AND cfg.use_substring_pass;
+    empty arrays otherwise) — fused here so the corpus text crosses the
+    Arrow boundary into Python ONCE for the dedup pipeline; a separate
+    substring-UDF pass would re-stream every text a second time. Callers
+    that never run the substring pass (e.g. the LSH-only driver queries)
+    keep the default and pay nothing.
     The full MinHash signature itself is not retained — only band hashes are
     ever used downstream, and dropping it keeps the shuffle narrow.
     """
     h = cfg.number_of_hash_functions
     r = cfg.rows_per_band
     n = cfg.shingle_size
+    sub_k, sub_w = cfg.substring_k, cfg.substring_window
+    want_sub = with_substring_fps and cfg.use_substring_pass
 
     @pandas_udf(_FEATURIZE_SCHEMA)
     def featurize(texts: pd.Series) -> pd.DataFrame:
         import numpy as np
 
-        tok_rows = [K.token_ids(t if t is not None else "") for t in texts]
+        raw = [t if t is not None else "" for t in texts]
+        tok_rows = [K.token_ids(t) for t in raw]
         sh_rows = [K.ngram_ids(t, n) for t in tok_rows]
         sigs = K.minhash_signatures(sh_rows, h)
         bands = K.fold_bands(sigs, r)
         sims = K.simhash64(tok_rows).astype(np.int64)
+        if want_sub:
+            sub_rows = K.substring_fingerprints_batch(raw, sub_k, sub_w)
+            subs = [f.astype(np.int64) for f in sub_rows]
+        else:
+            empty = np.empty(0, dtype=np.int64)
+            subs = [empty] * len(raw)
         return pd.DataFrame(
             {
                 "shingles": [s.astype("<u4").tobytes() for s in sh_rows],
                 "bands": list(bands.astype(np.int64)),
                 "simhash": sims,
                 "n_shingles": np.array([s.size for s in sh_rows], dtype=np.int32),
+                "substr_fps": subs,
             }
         )
 
     return featurize
 
 
-def featurize(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFrame:
+def featurize(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text",
+    with_substring_fps: bool = False,
+) -> DataFrame:
     """Add doc_id, fingerprint, shingles, bands, simhash, n_shingles columns.
 
     doc_id = xxhash64(url) when a url column exists (else xxhash64(text-col
@@ -86,7 +108,7 @@ def featurize(df: DataFrame, cfg: DedupConfig, text_col: str = "text") -> DataFr
     442-464 — same role, different hash since byte-parity of cluster ids is
     not observable in cluster output).
     """
-    udf = make_featurize_udf(cfg)
+    udf = make_featurize_udf(cfg, with_substring_fps)
     out = df
     if "doc_id" not in out.columns:
         id_src = "url" if "url" in out.columns else text_col

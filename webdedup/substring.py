@@ -18,24 +18,42 @@ from webdedup.signatures import make_substring_fp_udf
 
 def substring_pairs(
     df: DataFrame, cfg: DedupConfig, text_col: str = "text",
-    known_max: int | None = None,
+    known_max: int | None = None, fps_col: str | None = None,
 ) -> DataFrame:
     """(a, b, jaccard=1.0) pairs where one doc's text contains the other's.
 
     df needs (doc_id, text). Candidates: docs sharing >= min_shared winnowed
     fingerprints AND sharing a large fraction of the shorter doc's
     fingerprints; verify: exact `contains` on the raw text (JVM-side).
+
+    ``fps_col`` names a precomputed winnowed-fingerprint array column in
+    ``df`` (the fused featurize UDF emits `substr_fps`); when given, the
+    per-pass fingerprint UDF — a second full-corpus text stream through the
+    Arrow boundary — is skipped.
     """
-    fp_udf = make_substring_fp_udf(cfg)
-    rows = (
-        df.select("doc_id", F.col(text_col).alias("_t"))
-        .withColumn("_fps", fp_udf("_t"))
-        .withColumn("n_fp", F.size("_fps"))
-        .where(F.col("n_fp") > 0)
-        .select("doc_id", "n_fp", F.explode("_fps").alias("fp"))
-    )
-    # persist: the Python-UDF fingerprints feed both the hot-count agg and
-    # the self-join — without it the UDF runs once per consumer
+    if fps_col is not None:
+        rows = (
+            df.select(
+                "doc_id",
+                F.col(text_col).alias("_t"),
+                F.col(fps_col).alias("_fps"),
+            )
+            .withColumn("n_fp", F.size("_fps"))
+            .where(F.col("n_fp") > 0)
+            .select("doc_id", "n_fp", F.explode("_fps").alias("fp"))
+        )
+    else:
+        fp_udf = make_substring_fp_udf(cfg)
+        rows = (
+            df.select("doc_id", F.col(text_col).alias("_t"))
+            .withColumn("_fps", fp_udf("_t"))
+            .withColumn("n_fp", F.size("_fps"))
+            .where(F.col("n_fp") > 0)
+            .select("doc_id", "n_fp", F.explode("_fps").alias("fp"))
+        )
+    # persist: the (Python-UDF or exploded-from-cache) fingerprints feed
+    # both the hot-count agg and the self-join — without it the upstream
+    # runs once per consumer
     rows = track_persist(rows)
     # kill hot fingerprints (boilerplate) — same tombstone idea as LSH
     # buckets. The hot list is tiny ⇒ broadcast ANTI-join; joining against
