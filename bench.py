@@ -220,7 +220,15 @@ def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     thr_low = round(n_docs / sec_low, 1)
     thr_high = round(n_docs / sec_high, 1)
     eff = thr_high / (thr_low * (n_high / n_low))
+    # co-measured host envelope: the ratio only means something relative to
+    # what the box's shared memory system supports IN THE SAME TIME WINDOW
+    # (neighbor load moves it by 2-3x across hours on this VM)
+    envelope = run_host_envelope(n_low, n_high, reps=max(1, reps - 1))
     return {
+        "host_envelope": envelope,
+        "engine_vs_envelope": (
+            round(eff / envelope["value"], 2) if envelope["value"] else None
+        ),
         "metric": "dedup_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -241,9 +249,60 @@ def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     }
 
 
+def run_host_envelope(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
+    """Pure-numpy DRAM-streaming scaling probe at the same two concurrency
+    levels as run_scaling — the HOST's own ceiling for any bandwidth-
+    touching workload, engine-independent.
+
+    Each worker streams a 480 MB array (multiply + reduce, no Python-loop
+    overhead, no Spark). On hardware whose memory bandwidth scales with
+    cluster size (any multi-node cluster — each node brings its own memory
+    controllers) this probe would be ~1.0; on this single-box sandbox the
+    shared controller caps it, and the dedup job cannot scale past the
+    envelope it sets.
+    """
+    probe_src = (
+        "import numpy as np, time\n"
+        "a = np.random.default_rng(1).random(60_000_000)\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(6):\n"
+        "    s = float((a * 1.0001).sum())\n"
+        "print(time.perf_counter() - t0)\n"
+    )
+
+    def leg(n: int) -> float:
+        per_rep = []
+        for _ in range(reps):
+            procs = [
+                subprocess.Popen([sys.executable, "-c", probe_src],
+                                 stdout=subprocess.PIPE, text=True)
+                for _ in range(n)
+            ]
+            times = [float(p.communicate()[0]) for p in procs]
+            per_rep.append(sum(times) / len(times))
+        per_rep.sort()
+        return per_rep[len(per_rep) // 2]
+
+    t_low, t_high = leg(n_low), leg(n_high)
+    # per-process work is constant → aggregate throughput ∝ n / t
+    eff = (n_high / t_high) / ((n_low / t_low) * (n_high / n_low))
+    return {
+        "metric": "host_dram_streaming_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_low": n_low,
+        "n_high": n_high,
+        "reps": reps,
+        "sec_per_proc_low": round(t_low, 2),
+        "sec_per_proc_high": round(t_high, 2),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--host-envelope" in sys.argv:
+        print(json.dumps(run_host_envelope()))
     elif "--dedup-pages" in sys.argv:
         path = sys.argv[sys.argv.index("--dedup-pages") + 1]
         print(json.dumps(run_dedup_pages(path, CPUS)))
