@@ -109,16 +109,15 @@ def dedup(
     probe("uniq", uniq)
 
     # ---- stage 1: featurize unique docs (Arrow-vectorized kernels)
-    # feat carries text + the fused substring fingerprints so the corpus
-    # text crosses the Arrow boundary ONCE and every downstream branch
-    # (LSH, SimHash, verify, substring) reads one columnar cache — the
-    # in-memory relation is column-pruned, so the narrow verify joins never
-    # touch the text batches. uniq itself is consumed exactly once (here),
-    # so it is not persisted separately.
+    # The fused UDF emits the substring fingerprints alongside the LSH
+    # features, so the corpus text crosses the Arrow boundary ONCE. The
+    # feat cache stays text-free: the substring verify pulls texts for
+    # candidate ids only, re-carving uniq from the already-persisted docs
+    # cache (a broadcast semi-join over cached narrow+text columns), so
+    # text bytes are cached once (docs), not twice.
     feat_cols = ["doc_id", "shingles", "bands", "simhash", "n_shingles"]
     if cfg.use_substring_pass:
-        feat_cols = ["doc_id", text_col, "shingles", "bands", "simhash",
-                     "n_shingles", "substr_fps"]
+        feat_cols = feat_cols + ["substr_fps"]
     feat = featurize(
         uniq, cfg, text_col=text_col, with_substring_fps=True
     ).select(*feat_cols)
@@ -149,7 +148,7 @@ def dedup(
     if cfg.use_substring_pass:
         sub = substring_pairs(
             feat, cfg, text_col=text_col, known_max=n_docs,
-            fps_col="substr_fps",
+            fps_col="substr_fps", texts_df=uniq,
         ).withColumn("kind", F.lit("substring"))
         probe("substring", sub)
         all_pairs = near.unionByName(sub).dropDuplicates(["a", "b"])

@@ -19,6 +19,7 @@ from webdedup.signatures import make_substring_fp_udf
 def substring_pairs(
     df: DataFrame, cfg: DedupConfig, text_col: str = "text",
     known_max: int | None = None, fps_col: str | None = None,
+    texts_df: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard=1.0) pairs where one doc's text contains the other's.
 
@@ -30,14 +31,15 @@ def substring_pairs(
     ``df`` (the fused featurize UDF emits `substr_fps`); when given, the
     per-pass fingerprint UDF — a second full-corpus text stream through the
     Arrow boundary — is skipped.
+
+    ``texts_df`` optionally supplies the (doc_id, text) side for the final
+    contains-verify join from a separate frame (e.g. the pipeline's already-
+    persisted docs cache) so ``df`` need not carry — or cache — the text
+    column at all when ``fps_col`` is set.
     """
     if fps_col is not None:
         rows = (
-            df.select(
-                "doc_id",
-                F.col(text_col).alias("_t"),
-                F.col(fps_col).alias("_fps"),
-            )
+            df.select("doc_id", F.col(fps_col).alias("_fps"))
             .withColumn("n_fp", F.size("_fps"))
             .where(F.col("n_fp") > 0)
             .select("doc_id", "n_fp", F.explode("_fps").alias("fp"))
@@ -109,8 +111,9 @@ def substring_pairs(
         .union(shared.select(F.col("b").alias("doc_id")))
         .distinct()
     )
+    text_src = texts_df if texts_df is not None else df
     texts = semi_join_ids(
-        df.select("doc_id", F.col(text_col).alias("_t")),
+        text_src.select("doc_id", F.col(text_col).alias("_t")),
         pair_ids,
         "doc_id",
         cfg.broadcast_id_limit,
