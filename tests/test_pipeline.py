@@ -163,3 +163,29 @@ def test_near_cap_bucket_pair_budget(spark):
         .dropDuplicates(["a", "b"])
     )
     assert pairs.count() == under * (under - 1) // 2
+
+
+def test_substring_fused_fps_path_matches_udf_path(spark, pages):
+    """The fps_col+texts_df fast path (fused featurize fingerprints, texts
+    re-carved from a separate frame) must return exactly the pairs the
+    standalone per-pass-UDF path returns."""
+    from webdedup.signatures import featurize
+    from webdedup.substring import substring_pairs
+
+    pages_df, _ = pages
+    cfg = DedupConfig()
+    docs = pages_df.select(F.xxhash64("url").alias("doc_id"), "text")
+    via_udf = {
+        (r["a"], r["b"])
+        for r in substring_pairs(docs, cfg).collect()
+    }
+    feat = featurize(docs, cfg, with_substring_fps=True).select(
+        "doc_id", "substr_fps"
+    )
+    via_fused = {
+        (r["a"], r["b"])
+        for r in substring_pairs(
+            feat, cfg, fps_col="substr_fps", texts_df=docs
+        ).collect()
+    }
+    assert via_fused == via_udf and via_udf
