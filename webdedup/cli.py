@@ -1,11 +1,17 @@
 """spark-submit entry point.
 
-Batch::
+Batch (spark-submit takes a script path, not ``-m`` — use the thin
+driver in jobs/)::
 
-    spark-submit --py-files webdedup.zip -m webdedup.cli \\
+    zip -r webdedup.zip webdedup
+    spark-submit --py-files webdedup.zip jobs/run_dedup.py \\
         --input  /data/pages.parquet \\
         --output /data/dedup_out \\
         --hashes 128 --rows-per-band 4 --jaccard 0.8
+
+(verified end-to-end: the zip alone supplies the package when submitted
+from a clean working directory; counters identical to the local
+``python -m webdedup.cli`` run)
 
 Incremental (catalog root with manifest.json snapshots)::
 
