@@ -249,6 +249,71 @@ def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     }
 
 
+def run_featurize_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
+    """Featurize-stage-only scaling at the same two parallelism levels.
+
+    The featurize UDF (tokenize → shingle → MinHash → SimHash → winnowed
+    fingerprints, per-doc cache-resident numpy kernels) is the pipeline's
+    dominant core-time consumer and is CPU-bound, not DRAM-streaming-bound
+    — so its scaling isolates the ENGINE's parallelism from the host's
+    shared-memory-controller ceiling that caps the end-to-end ratio (see
+    run_host_envelope). Runs in-process with one session per leg.
+    """
+    import subprocess as sp
+
+    path = ensure_corpus()
+    script = (
+        "import json, sys, time\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as E\n"
+        "from webdedup.session import get_spark\n"
+        "from webdedup.signatures import featurize\n"
+        "cpus = int(sys.argv[1])\n"
+        "spark = get_spark(f'feat-{cpus}', cores=cpus,\n"
+        "                  shuffle_partitions=max(4 * cpus, 16))\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        f"docs = spark.read.parquet('{path}').selectExpr(\n"
+        "    'xxhash64(url) as doc_id', 'text')\n"
+        "featurize(docs.limit(20000), E.CFG, with_substring_fps=True)"
+        ".selectExpr('sum(n_shingles)').collect()\n"
+        "t0 = time.perf_counter()\n"
+        "featurize(docs, E.CFG, with_substring_fps=True)"
+        ".selectExpr('sum(n_shingles)').collect()\n"
+        "print(json.dumps({'sec': round(time.perf_counter() - t0, 2)}))\n"
+    )
+
+    def leg(cpus: int) -> list:
+        env = dict(os.environ, WEBDEDUP_DRIVER_MEM="8g")
+        p = sp.run([sys.executable, "-c", script, str(cpus)],
+                   env=env, capture_output=True, text=True, timeout=1800)
+        lines = [l for l in p.stdout.strip().splitlines() if l.startswith("{")]
+        return json.loads(lines[-1])["sec"]
+
+    runs: dict = {n_low: [], n_high: []}
+    for _ in range(reps):
+        for cpus in (n_low, n_high):
+            runs[cpus].append(leg(cpus))
+
+    def med(vals):
+        v = sorted(vals)
+        return v[len(v) // 2]
+
+    s_low, s_high = med(runs[n_low]), med(runs[n_high])
+    eff = (1.0 / s_high) / ((1.0 / s_low) * (n_high / n_low))
+    return {
+        "metric": "featurize_stage_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "n_low": n_low,
+        "n_high": n_high,
+        "reps": reps,
+        "sec_low": s_low,
+        "sec_high": s_high,
+        "sec_low_all": runs[n_low],
+        "sec_high_all": runs[n_high],
+    }
+
+
 def run_host_envelope(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
     """Pure-numpy DRAM-streaming scaling probe at the same two concurrency
     levels as run_scaling — the HOST's own ceiling for any bandwidth-
@@ -303,6 +368,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--host-envelope" in sys.argv:
         print(json.dumps(run_host_envelope()))
+    elif "--featurize-scaling" in sys.argv:
+        print(json.dumps(run_featurize_scaling()))
     elif "--dedup-pages" in sys.argv:
         path = sys.argv[sys.argv.index("--dedup-pages") + 1]
         print(json.dumps(run_dedup_pages(path, CPUS)))
