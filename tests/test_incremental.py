@@ -224,3 +224,18 @@ def test_multi_snapshot_drain_keeps_per_snapshot_identity(spark, tmp_root):
         for r in docs.groupBy("src_snapshot").agg(F.count("*").alias("n")).collect()
     }
     assert per_snap == {1: 40, 2: 40}
+
+
+def test_catalog_row_count_from_footers(spark, tmp_root):
+    """row_count reads parquet footers (no Spark job) and respects the
+    (after, upto] snapshot-range semantics of read_incremental."""
+    cat = Catalog(os.path.join(tmp_root, "rc_src"))
+    df = spark.range(100).selectExpr("id as doc_id", "cast(id as string) as text")
+    s1 = cat.append("t", df.limit(40))
+    s2 = cat.append("t", df.where("doc_id >= 40").limit(35))
+    s3 = cat.append("t", df.where("doc_id >= 75"))
+    assert cat.row_count("t") == 100
+    assert cat.row_count("t", after=s1) == 60
+    assert cat.row_count("t", after=s1, upto=s2) == 35
+    assert cat.row_count("t", after=s2, upto=s3) == 25
+    assert cat.row_count("t", after=s3) == 0
