@@ -63,6 +63,11 @@ def dedup(
     unique texts, candidate pairs, verified dups, clusters) are computed on
     the returned DataFrames lazily via the counters dict of callables
     materialized by ``collect_counters``.
+
+    ``pages`` is counted once up front to bound the broadcast-gating id
+    sets (metadata-only for a plain file scan). If you pass a DERIVED
+    frame built from expensive transformations, persist it first — the
+    count would otherwise compute the transformation a second time.
     """
     cfg = cfg or DedupConfig()
     has_url = "url" in pages.columns
