@@ -599,8 +599,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "ann_ivf_recall_covered": q_ann_ivf_recall_covered,
         "ann_lsh_recall_covered": q_ann_lsh_recall_covered,
-        # rows-only (no oracle): LSH / SimHash / full pipeline / ANN
+        # full-pipeline clusters (recursive-CTE CC oracle)
         "dedup_clusters": q_dedup_clusters,
+        # rows-only (no oracle): LSH / SimHash / ANN raw outputs — each is
+        # value-gated by an oracle sibling (lsh_recall_covered,
+        # ann_*_recall_covered, cluster_containment)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "cosine_topk_lsh": q_cosine_topk_lsh,
@@ -851,6 +854,39 @@ FROM documents l JOIN documents r
   ON l.doc_id < r.doc_id
  AND least(length(l.text), length(r.text)) >= 159
  AND (contains(l.text, r.text) OR contains(r.text, l.text))
+""",
+        # flagship full-pipeline oracle: connected components over the UNION
+        # of the three independently-green edge oracles (word-3-gram near
+        # pairs at J >= 0.8, substring containment at the winnowing
+        # guarantee length, exact-dup rep->member edges), resolved with a
+        # recursive min-label CTE — the SQL mirror of components.py's
+        # hash-min propagation (cluster_id = min doc_id in component;
+        # isolated docs keep their own id via the seed row). Verified
+        # mismatch-free against the engine at sf0.001 and sf0.01.
+        "dedup_clusters": _NGRAM_CTE_REP.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+, exact_e AS (
+  SELECT r.doc_id AS a, d.doc_id AS b
+  FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) r
+    ON d.text = r.text AND d.doc_id != r.doc_id)
+, rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+, sub_e AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM rep l JOIN rep r ON l.doc_id < r.doc_id
+   AND least(length(l.text), length(r.text)) >= 159
+   AND (contains(l.text, r.text) OR contains(r.text, l.text)))
+, near_e AS (SELECT a, b FROM pairs WHERE jraw >= 800000)
+, edges AS (
+  SELECT a AS src, b AS dst FROM near_e UNION SELECT b, a FROM near_e
+  UNION SELECT a, b FROM sub_e  UNION SELECT b, a FROM sub_e
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e)
+, walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
 """,
         "api_kneighbors_cosine": _TF_CTE()
         + """,
