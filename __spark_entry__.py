@@ -541,6 +541,52 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", *cols)
 
 
+def q_wav_features(spark, sf_dir):
+    """REAL multimodal decode, value-checked end-to-end: each document's
+    text bytes become int16 PCM samples (s = byte*257 - 32768, spanning the
+    full int16 range), serialized into a genuine RIFF/WAVE container — with
+    an extra LIST chunk before 'data' so a fixed-44-byte-offset slice would
+    fail — then decoded back by the pure-numpy chunk-walking parser
+    (multimodal.decode_wav_pcm, strict mode) and reduced to an exact int16
+    sample histogram. The DuckDB oracle computes the same histogram directly
+    from the text characters: any header/offset/endianness/alignment bug in
+    the codec shifts every count and breaks the hash."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from webdedup.multimodal import (
+        encode_wav_pcm,
+        extract_features,
+        wav_sample_histogram,
+    )
+
+    @pandas_udf(BinaryType())
+    def to_wav(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            samples = b.astype(np.int32) * 257 - 32768
+            out.append(encode_wav_pcm(samples.astype(np.int16)))
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), to_wav("text").alias("payload")
+    )
+    feats = extract_features(
+        media, decoder=lambda p: wav_sample_histogram(p, 16), dim=16,
+        strict=True,
+    )
+    cols = [
+        F.element_at("features", i + 1).cast("long").alias(f"h{i:02d}")
+        for i in range(16)
+    ]
+    n_samples = F.aggregate(
+        "features", F.lit(0.0), lambda a, x: a + x
+    ).cast("long").alias("n_samples")
+    return feats.select("media_id", n_samples, *cols)
+
+
 def q_api_partial_fit(spark, sf_dir):
     """S2 value gate: fit on half the corpus, partial_fit the rest — the
     final index state must be IDENTICAL to one-shot fit, so this shares
@@ -599,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_kneighbors": q_api_kneighbors,
         "api_partial_fit": q_api_partial_fit,
         "multimodal_features": q_multimodal_features,
+        "wav_features": q_wav_features,
         "ann_ivf_recall_covered": q_ann_ivf_recall_covered,
         "ann_lsh_recall_covered": q_ann_lsh_recall_covered,
         # full-pipeline clusters (recursive-CTE CC oracle)
@@ -1146,4 +1193,24 @@ SELECT media_id, n_bytes,
             for i in range(16)
         )
         + "\nFROM hist GROUP BY media_id, n_bytes\n",
+        # real-decode round trip: sample s = byte*257 - 32768 ⇒ its int16
+        # histogram bucket (s+32768)//4096 = ascii(c)*257//4096 — computed
+        # here straight from the characters, while the Spark side goes
+        # text → PCM → RIFF/WAVE container → chunk-walking parser → histogram
+        "wav_features": """
+WITH ch AS (
+  SELECT doc_id AS media_id, length(text) AS n_samples,
+         unnest(list_transform(range(1, length(text) + 1),
+                i -> (ascii(substring(text, CAST(i AS INT), 1)) * 257) // 4096)) AS bucket
+  FROM documents),
+hist AS (
+  SELECT media_id, n_samples, bucket, count(*) AS c FROM ch GROUP BY 1, 2, 3)
+SELECT media_id, n_samples,
+"""
+        + ",\n".join(
+            f"       CAST(coalesce(sum(CASE WHEN bucket = {i} THEN c END), 0)"
+            f" AS BIGINT) AS h{i:02d}"
+            for i in range(16)
+        )
+        + "\nFROM hist GROUP BY media_id, n_samples\n",
     }

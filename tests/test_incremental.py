@@ -239,3 +239,16 @@ def test_catalog_row_count_from_footers(spark, tmp_root):
     assert cat.row_count("t", after=s1, upto=s2) == 35
     assert cat.row_count("t", after=s2, upto=s3) == 25
     assert cat.row_count("t", after=s3) == 0
+
+
+def test_snapshot_col_ignores_snap_segment_in_catalog_root(spark, tmp_root):
+    """A catalog root that itself contains a 'snap-<digits>/' path segment
+    must not hijack the per-row snapshot id (the regexp anchors to the LAST
+    such segment — the per-snapshot data dir)."""
+    root = os.path.join(tmp_root, "snap-000099", "wh")
+    cat = Catalog(root)
+    cat.append("t", spark.range(0, 5).withColumnRenamed("id", "x"))
+    cat.append("t", spark.range(5, 9).withColumnRenamed("id", "x"))
+    df = cat.read_incremental(spark, "t", after=None, snapshot_col="snap")
+    got = {r["snap"] for r in df.select("snap").distinct().collect()}
+    assert got == {1, 2}, got

@@ -61,3 +61,71 @@ def test_custom_decoder_hook(spark, media):
 
     out = extract_features(media, decoder=decoder).collect()
     assert all(r["features"] == [1.0, 1.0, 1.0, 1.0] for r in out)
+
+
+# ---------------- real WAV-PCM codec ----------------
+
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from webdedup.multimodal import decode_wav_pcm, encode_wav_pcm
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32768, size=1001, dtype=np.int16)  # odd length
+    out = decode_wav_pcm(encode_wav_pcm(s, sample_rate=8000))
+    assert np.array_equal(out, s)
+
+
+def test_wav_decoder_walks_chunks_not_fixed_offset():
+    import numpy as np
+
+    from webdedup.multimodal import decode_wav_pcm, encode_wav_pcm
+
+    s = np.arange(-5, 5, dtype=np.int16)
+    # odd-sized LIST chunk before data: forces word-alignment handling too
+    payload = encode_wav_pcm(s, pad_chunk=b"INFOabc")
+    assert np.array_equal(decode_wav_pcm(payload), s)
+    # canonical minimal file (no extra chunk) also decodes
+    assert np.array_equal(decode_wav_pcm(encode_wav_pcm(s, pad_chunk=None)), s)
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda p: p[:10],                                # truncated header
+    lambda p: b"RIFX" + p[4:],                       # bad magic
+    lambda p: p.replace(b"fmt ", b"fmx ", 1),        # missing fmt chunk
+    lambda p: p.replace(b"\x01\x00\x01\x00", b"\x03\x00\x01\x00", 1),  # float fmt
+])
+def test_wav_decoder_rejects_malformed(mutate):
+    import numpy as np
+
+    from webdedup.multimodal import decode_wav_pcm, encode_wav_pcm
+
+    good = encode_wav_pcm(np.arange(16, dtype=np.int16))
+    with pytest.raises(ValueError):
+        decode_wav_pcm(mutate(good))
+
+
+def test_extract_features_strict_mode(spark):
+    import numpy as np
+
+    from webdedup.multimodal import (
+        decode_wav_pcm, encode_wav_pcm, extract_features,
+    )
+
+    good = encode_wav_pcm(np.arange(100, dtype=np.int16))
+    rows = [(1, "audio", "audio/wav", bytearray(good), None, None, None),
+            (2, "audio", "audio/wav", bytearray(b"garbage-not-riff"), None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = lambda p: decode_wav_pcm(p)[:16].astype("float64")
+
+    # non-strict: bad payload degrades to zero features
+    out = extract_features(media, decoder=dec, dim=16, strict=False).collect()
+    bad = [r for r in out if r["media_id"] == 2][0]
+    assert all(v == 0.0 for v in bad["features"])
+
+    # strict: the job fails on the undecodable payload
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        extract_features(media, decoder=dec, dim=16, strict=True).collect()

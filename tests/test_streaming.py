@@ -123,3 +123,25 @@ def test_keyed_append_is_idempotent(spark, tmp_path):
     s3 = cat.append("t", df, key="epoch-1")
     assert s3 == s1 + 1
     assert cat.read(spark, "t").count() == 20
+
+
+def test_epoch_key_is_path_spelling_invariant(spark, tmp_path):
+    """Restarting a query with an equivalent-but-differently-spelled
+    checkpoint path (trailing slash, relative, symlink) must produce the
+    SAME idempotency keys — otherwise replayed epochs re-ingest and
+    exactly-once degrades to at-least-once."""
+    import os
+
+    from webdedup.streaming import StreamingDedup
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    link = str(tmp_path / "ckpt_link")
+    os.symlink(ckpt, link)
+
+    sd = StreamingDedup(spark, str(tmp_path / "work"))
+    keys = set()
+    for spelling in (ckpt, ckpt + "/", link, os.path.relpath(ckpt)):
+        sd._checkpoint_dir = spelling
+        keys.add(sd._epoch_key(3))
+    assert len(keys) == 1, keys

@@ -66,7 +66,20 @@ class Catalog:
 
     # ---- write path ----
 
-    def append(self, table: str, df: DataFrame, key: str | None = None) -> int:
+    def meta(self, table: str) -> dict:
+        """Table-level metadata committed alongside snapshots (e.g. the
+        substring-fingerprint config the stored substr_fps were computed
+        under — incremental.py trusts precomputed fps only when this
+        matches the current config)."""
+        return self._load(table).get("meta", {})
+
+    def append(
+        self,
+        table: str,
+        df: DataFrame,
+        key: str | None = None,
+        meta_update: dict | None = None,
+    ) -> int:
         """Append rows as a new snapshot; returns the new snapshot id.
 
         Crash-safe: the parquet lands in a temp dir first and is renamed
@@ -83,6 +96,10 @@ class Catalog:
         the snapshot itself, so an at-least-once producer (Structured
         Streaming foreachBatch replaying an epoch after a crash) can never
         double-ingest a micro-batch.
+
+        ``meta_update`` merges into the table-level ``meta`` dict in the
+        SAME atomic manifest swap (never a separate write — a crash between
+        data and meta commits could otherwise leave them inconsistent).
         """
         import shutil
 
@@ -115,6 +132,8 @@ class Catalog:
             }
         )
         m["current"] = sid
+        if meta_update:
+            m["meta"] = {**m.get("meta", {}), **meta_update}
         self._store(table, m)
         return sid
 
@@ -160,10 +179,15 @@ class Catalog:
         if snapshot_col is not None:
             from pyspark.sql import functions as F
 
+            # greedy .*/ prefix anchors the match to the LAST snap-<id>/
+            # path segment — a catalog root that itself contains a
+            # 'snap-<digits>/' segment must not win the match (it would tag
+            # every row with one bogus id, collapsing (url, snapshot) doc
+            # identity across crawl events)
             df = df.withColumn(
                 snapshot_col,
                 F.regexp_extract(
-                    F.col("_metadata.file_path"), r"snap-(\d+)/", 1
+                    F.col("_metadata.file_path"), r".*/snap-(\d+)/", 1
                 ).cast("long"),
             )
         return df

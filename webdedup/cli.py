@@ -104,6 +104,8 @@ def main(argv=None) -> int:
             "partition_lineage": partition_lineage(res.clusters),
             "sec": round(time.perf_counter() - t0, 3),
         }
+        # outputs + counters are fully materialized — drop the run's caches
+        res.release()
     print(json.dumps(out))
     return 0
 

@@ -29,7 +29,7 @@ from webdedup import lsh, verify
 from webdedup.catalog import Catalog
 from webdedup.components import connected_components
 from webdedup.config import DedupConfig
-from webdedup.joins import semi_join_ids
+from webdedup.joins import scoped_persists, semi_join_ids, track_persist
 from webdedup.metrics import PipelineMetrics, partition_lineage
 from webdedup.signatures import featurize
 from webdedup.substring import substring_pairs
@@ -98,7 +98,22 @@ class IncrementalDedup:
 
     def process(self, table: str = "pages", text_col: str = "text") -> dict | None:
         """Process all unprocessed source snapshots; returns run metrics or
-        None when already up to date. Safe to re-run after a crash."""
+        None when already up to date. Safe to re-run after a crash.
+
+        All caches this run persists (explicit + helper-tracked) are scoped
+        to the run and released before returning — a concurrent dedup()'s
+        caches in the same driver are never evicted (ADVICE r3)."""
+        with scoped_persists() as scope:
+            try:
+                return self._process_impl(table, text_col)
+            finally:
+                # every output is on disk by the time _process_impl returns
+                # (or the run failed); drop this run's caches so a long-lived
+                # driver (streaming continuous mode) doesn't accumulate
+                # MEMORY_AND_DISK blocks per micro-batch without bound
+                scope.release()
+
+    def _process_impl(self, table: str, text_col: str) -> dict | None:
         cfg = self.cfg
         st = self._state()
         cur = self.source.current_snapshot(table)
@@ -125,7 +140,7 @@ class IncrementalDedup:
         new = new.withColumn(
             "doc_id", F.xxhash64("url", F.col("src_snapshot").cast("string"))
         ).withColumn("fingerprint", F.md5(F.col(text_col).cast("binary")))
-        new.persist()
+        track_persist(new)
 
         # -- exact-dup split against known + intra-batch fingerprints
         if self.work.exists(DOCS):
@@ -181,25 +196,38 @@ class IncrementalDedup:
             F.count(F.lit(1)).alias("pages_shingled"),
             F.sum("n_shingles").alias("signatures_emitted"),
         )
-        feat_new.persist()
+        track_persist(feat_new)
 
         # -- candidates: at least one side new
+        # Stored substr_fps are TRUSTED only when the store's manifest meta
+        # records the exact fps config (k, window, pass enabled) in effect
+        # now (ADVICE r3 medium): featurize always writes the column — empty
+        # arrays when the pass is off, values frozen at write-time k/window —
+        # so column presence alone would silently miss substring duplicates
+        # against previously stored docs after a config change. On any
+        # mismatch (or a pre-meta store) the per-pass UDF recomputes
+        # fingerprints for the whole corpus under the current config.
+        fps_cfg = {
+            "substr_k": cfg.substring_k,
+            "substr_window": cfg.substring_window,
+            "enabled": bool(cfg.use_substring_pass),
+        }
         feat_all = feat_new
-        have_stored_fps = True
+        store_has_col = True
+        fps_trusted = True
         if self.work.exists(FEATURES):
             stored = self.work.read(self.spark, FEATURES)
-            # features written before the fused-featurize change lack
-            # substr_fps; fall back to the per-pass fingerprint UDF for the
-            # whole corpus rather than mixing precomputed and recomputed fps
-            have_stored_fps = "substr_fps" in stored.columns
+            store_has_col = "substr_fps" in stored.columns
+            stored_cfg = self.work.meta(FEATURES).get("substr_fps_cfg")
+            fps_trusted = store_has_col and stored_cfg == fps_cfg
             cols = ["doc_id", text_col, "shingles", "bands", "simhash",
                     "n_shingles"]
-            if have_stored_fps:
+            if store_has_col:
                 cols.append("substr_fps")
             feat_all = stored.select(*cols).unionByName(
                 feat_new.select(*cols)
             )
-        feat_all.persist()
+        track_persist(feat_all)
 
         cand = self._new_touching_pairs(feat_new, feat_all, cfg)
         cand = mx.observe(cand, "candidates", F.count(F.lit(1)).alias("candidate_pairs"))
@@ -209,7 +237,7 @@ class IncrementalDedup:
         ).withColumn("kind", F.lit("near"))
         if cfg.use_substring_pass:
             new_ids = feat_new.select("doc_id")
-            if have_stored_fps:
+            if fps_trusted:
                 sub = substring_pairs(
                     feat_all.select("doc_id", text_col, "substr_fps"), cfg,
                     text_col=text_col, known_max=n_corpus,
@@ -241,10 +269,23 @@ class IncrementalDedup:
             new.select("doc_id", "url", "fingerprint", "src_snapshot"),
         )
         feat_store = feat_new.withColumn("src_snapshot", F.lit(cur))
-        if not have_stored_fps:
+        if not store_has_col:
             # keep a pre-fused-featurize store's parquet schema uniform
             feat_store = feat_store.drop("substr_fps")
-        snap_ids[FEATURES] = self.work.append(FEATURES, feat_store)
+            fps_meta = None
+        elif not self.work.exists(FEATURES):
+            # first append records the config the stored fps obey
+            fps_meta = {"substr_fps_cfg": fps_cfg}
+        elif self.work.meta(FEATURES).get("substr_fps_cfg") == fps_cfg:
+            fps_meta = None  # unchanged — keep the recorded config
+        else:
+            # config changed mid-store: old rows' fps obey the old config,
+            # this batch's the new one — poison the meta so no future run
+            # ever trusts the mixed column
+            fps_meta = {"substr_fps_cfg": {"mixed": True}}
+        snap_ids[FEATURES] = self.work.append(
+            FEATURES, feat_store, meta_update=fps_meta
+        )
         snap_ids[EDGES] = self.work.append(
             EDGES, edges_new.withColumn("src_snapshot", F.lit(cur))
         )
@@ -271,15 +312,6 @@ class IncrementalDedup:
         st["work_snaps"][str(cur)] = snap_ids
         self._commit_state(st)
 
-        new.unpersist()
-        feat_new.unpersist()
-        feat_all.unpersist()
-        # every output is on disk by now; drop the run's tracked caches so a
-        # long-lived driver (streaming continuous mode) doesn't accumulate
-        # MEMORY_AND_DISK blocks per micro-batch without bound (ADVICE r2)
-        from webdedup.joins import release_persisted
-
-        release_persisted()
         return metrics
 
     def _new_touching_pairs(

@@ -1,4 +1,4 @@
-"""Size-gated semi-join helper.
+"""Size-gated semi-join helper + per-run persist tracking.
 
 The pipeline repeatedly carves "rows whose id appears in this (usually
 small) id set" out of a wide cached table. A forced ``F.broadcast`` hint is
@@ -13,42 +13,92 @@ So: count the id set (cheap — ids are a narrow aggregate, persisted so the
 count is not recomputed by the join), broadcast below the configured limit,
 degrade to a shuffled semi-join above it. At 10^12 docs the limit trips and
 the plan stays correct; on every realistic per-batch id set it broadcasts.
+
+Persist tracking is scoped per run (ADVICE r3): each pipeline run collects
+the frames it persists into its own ``PersistScope`` so releasing one run's
+caches can never evict another in-flight run's (e.g. an IncrementalDedup
+batch releasing while a plain dedup()'s lazy counters are still pending).
+``release_persisted()`` remains as the end-of-driver bulk release: it frees
+the default scope AND every still-registered run scope.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-#: frames persisted by pipeline helpers, pending release. A long-running
-#: driver (StreamingDedup's continuous mode, a bench loop) would otherwise
-#: accumulate MEMORY_AND_DISK blocks per micro-batch/rep without bound —
-#: blocks evicted to disk are never freed until session shutdown.
-_TRACKED: list[DataFrame] = []
+
+class PersistScope:
+    """Frames persisted by one pipeline run, released together.
+
+    ``release()`` must only be called once every result derived from the
+    scoped caches has been fully materialized (outputs written / collected)
+    — a lazy frame consumed afterwards recomputes instead of reading the
+    cache (correct, just slower).
+    """
+
+    def __init__(self):
+        self._frames: list[DataFrame] = []
+        _LIVE_SCOPES.append(self)
+
+    def add(self, df: DataFrame) -> DataFrame:
+        df.persist()
+        self._frames.append(df)
+        return df
+
+    def release(self) -> int:
+        n = len(self._frames)
+        for df in self._frames:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped / frame gone — best-effort
+        self._frames.clear()
+        if self in _LIVE_SCOPES:
+            _LIVE_SCOPES.remove(self)
+        return n
+
+
+#: bottom scope: frames tracked outside any run scope (driver-query helpers)
+_DEFAULT_SCOPE = PersistScope.__new__(PersistScope)
+_DEFAULT_SCOPE._frames = []
+#: every scope not yet released — release_persisted() drains all of them
+_LIVE_SCOPES: list[PersistScope] = [_DEFAULT_SCOPE]
+#: innermost active scope; single-threaded driver ⇒ a plain stack suffices
+_SCOPE_STACK: list[PersistScope] = [_DEFAULT_SCOPE]
+
+
+class scoped_persists:
+    """Context manager: route track_persist() calls to a fresh PersistScope
+    for the duration of the block WITHOUT releasing on exit (the run's
+    results are lazy — the caller releases via the returned scope once they
+    are materialized)."""
+
+    def __enter__(self) -> PersistScope:
+        self.scope = PersistScope()
+        _SCOPE_STACK.append(self.scope)
+        return self.scope
+
+    def __exit__(self, *exc) -> None:
+        _SCOPE_STACK.pop()
 
 
 def track_persist(df: DataFrame) -> DataFrame:
-    """persist() + register for a later bulk release_persisted()."""
-    df.persist()
-    _TRACKED.append(df)
-    return df
+    """persist() + register with the innermost scope for a later release."""
+    return _SCOPE_STACK[-1].add(df)
 
 
 def release_persisted() -> int:
-    """Unpersist every tracked frame; returns how many were released.
+    """Unpersist EVERY tracked frame in every live scope; returns the count.
 
-    Call only at a point where all results derived from tracked caches have
-    been fully materialized (outputs written / collected) — a lazy frame
-    consumed afterwards recomputes instead of reading the cache (correct,
-    just slower). IncrementalDedup.process, StreamingDedup micro-batches,
-    and the CLI call this at end-of-run.
+    This is the single-tenant end-of-driver-run barrier (bench reps, CLI
+    exit). Runs that must not disturb others release their own
+    ``PersistScope`` instead.
     """
-    n = len(_TRACKED)
-    for df in _TRACKED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session already stopped / frame gone — release is best-effort
-    _TRACKED.clear()
+    n = 0
+    for scope in list(_LIVE_SCOPES):
+        n += scope.release()
+    if _DEFAULT_SCOPE not in _LIVE_SCOPES:
+        _LIVE_SCOPES.append(_DEFAULT_SCOPE)
     return n
 
 

@@ -2,11 +2,17 @@
 
 Images/audio/video ride as opaque ``binary`` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched ``mapInPandas`` kernels so
-payload bytes never round-trip through per-row Python. The actual codec step
-is STUBBED (no image/audio libraries in this container): ``decoder=None``
+payload bytes never round-trip through per-row Python.
+
+Codecs: WAV-PCM has a REAL pure-numpy container parser (``decode_wav_pcm``:
+RIFF chunk walk, fmt validation, little-endian int16 samples) plus the
+matching writer (``encode_wav_pcm``), exercised end-to-end by the
+``wav_features`` driver oracle over actually-decoded bytes. Image/video
+decode stays STUBBED (no codec libraries in this container): ``decoder=None``
 uses a deterministic fake (byte-stat features) so the Spark-side plumbing —
 schema, batch shape, partition sizing — is real and tested; plugging a real
-codec is a one-function swap.
+codec is a one-function swap (``strict=True`` makes undecodable payloads
+raise instead of degrading to zero features).
 """
 
 from __future__ import annotations
@@ -55,11 +61,96 @@ def fake_decode(payload: bytes, dim: int = 16):
     return (hist / max(1, b.size)).astype(np.float32)
 
 
+# ---------------- WAV-PCM: real pure-numpy container codec ----------------
+
+
+def encode_wav_pcm(samples, sample_rate: int = 16000, pad_chunk: bytes | None = b"") -> bytes:
+    """Serialize int16 samples into a canonical RIFF/WAVE PCM container.
+
+    ``pad_chunk``: payload of an extra 'LIST' chunk inserted BEFORE 'data'
+    (default: empty chunk present) — real-world WAVs carry INFO/LIST/fact
+    chunks, so round-trip tests through this writer prove the decoder walks
+    chunks rather than assuming the 44-byte canonical layout. None omits it.
+    """
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = [(b"fmt ", fmt)]
+    if pad_chunk is not None:
+        chunks.append((b"LIST", pad_chunk))
+    chunks.append((b"data", data))
+    body = b"WAVE"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:  # RIFF chunks are word-aligned
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(payload: bytes):
+    """Parse a RIFF/WAVE PCM container → int16 sample array (pure numpy).
+
+    A real chunk-walking parser, not a fixed-offset slice: validates the
+    RIFF/WAVE magic, iterates word-aligned chunks in file order, reads the
+    'fmt ' chunk (PCM format 1, 16-bit only), and decodes the 'data' chunk
+    as little-endian int16. Raises ValueError on anything malformed —
+    ``extract_features(strict=True)`` propagates, strict=False degrades to
+    zero features.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF file: too short")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # word alignment
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if n_channels != 1:
+        raise ValueError(f"unsupported WAV: channels={n_channels}")
+    return np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2")
+
+
+def wav_sample_histogram(payload: bytes, bins: int = 16):
+    """Decoded-sample histogram features: count of samples per equal-width
+    bucket over the int16 range (integer-exact → hash-stable vs a SQL
+    oracle). The decode step is the REAL parser above."""
+    import numpy as np
+
+    s = decode_wav_pcm(payload)
+    width = 65536 // bins
+    idx = (s.astype(np.int64) + 32768) // width
+    return np.bincount(idx, minlength=bins).astype(np.int64)
+
+
 def extract_features(
     media: DataFrame,
     decoder: Callable | None = None,
     dim: int = 16,
     batch_rows: int = 256,
+    strict: bool = False,
 ) -> DataFrame:
     """media(MEDIA_SCHEMA) → (media_id, n_bytes, features) via mapInPandas.
 
@@ -67,12 +158,26 @@ def extract_features(
     executor never holds more than batch_rows payloads in memory — at 100 TB
     the input should be repartitioned so each task reads O(100 MB) of
     payload (spark.sql.files.maxPartitionBytes governs the scan side).
+
+    ``strict=True``: a payload the decoder rejects fails the job (data
+    quality gate); strict=False records zero features for it and moves on
+    (bulk-ingest mode).
     """
+    import numpy as np
+
     dec = decoder or (lambda p: fake_decode(p, dim))
+
+    def safe(p):
+        try:
+            return np.asarray(dec(p), dtype=np.float64)
+        except Exception:
+            if strict:
+                raise
+            return np.zeros(dim, dtype=np.float64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [dec(p).tolist() for p in pdf["payload"]]
+            feats = [safe(p).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -38,7 +38,12 @@ def _profiler():
 from webdedup import lsh, verify
 from webdedup.components import connected_components
 from webdedup.config import DedupConfig
-from webdedup.joins import semi_join_ids, track_persist
+from webdedup.joins import (
+    PersistScope,
+    scoped_persists,
+    semi_join_ids,
+    track_persist,
+)
 from webdedup.signatures import featurize
 from webdedup.substring import substring_pairs
 
@@ -48,6 +53,32 @@ class DedupResult:
     clusters: DataFrame        # (doc_id, url?, cluster_id)
     pairs: DataFrame           # verified (a, b, jaccard, kind)
     counters: dict = field(default_factory=dict)
+    #: caches persisted by this run; call release() once clusters/pairs/
+    #: counters have been fully materialized. Releasing here never touches
+    #: caches belonging to other in-flight runs.
+    scope: PersistScope | None = None
+
+    def release(self) -> int:
+        return self.scope.release() if self.scope is not None else 0
+
+
+#: optimized-plan markers whose recompute is expensive — a cold input frame
+#: containing any of these is persisted before the upfront gating count so
+#: the transformation runs exactly once (a plain parquet scan, possibly with
+#: pushed filters/projections, matches none of them and stays uncached: the
+#: docs cache right below would otherwise double-cache the text bytes)
+_EXPENSIVE_PLAN_NODES = (
+    "Join", "Aggregate", "Generate", "Window", "Sort",
+    "EvalPython", "InPandas", "MapPartitions", "MapElements", "Union",
+)
+
+
+def _recompute_is_expensive(df: DataFrame) -> bool:
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True  # can't inspect — persist defensively
+    return any(tok in plan for tok in _EXPENSIVE_PLAN_NODES)
 
 
 def dedup(
@@ -65,11 +96,27 @@ def dedup(
     materialized by ``collect_counters``.
 
     ``pages`` is counted once up front to bound the broadcast-gating id
-    sets (metadata-only for a plain file scan). If you pass a DERIVED
-    frame built from expensive transformations, persist it first — the
-    count would otherwise compute the transformation a second time.
+    sets (metadata-only for a plain file scan). A cold DERIVED frame —
+    one whose optimized plan contains joins/aggregates/UDF stages — is
+    persisted automatically first, so the transformation computes exactly
+    once instead of once for the count and again per downstream stage.
+
+    Caches persisted by the run are collected into ``result.scope``;
+    call ``result.release()`` after materializing the outputs.
     """
     cfg = cfg or DedupConfig()
+    with scoped_persists() as scope:
+        result = _dedup_impl(pages, cfg, text_col, id_col)
+    result.scope = scope
+    return result
+
+
+def _dedup_impl(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    text_col: str,
+    id_col: str | None,
+) -> DedupResult:
     has_url = "url" in pages.columns
     probe = _profiler()
 
@@ -80,6 +127,10 @@ def dedup(
     # (VERDICT r2: their fixed job-barrier latency dominated the toy bench
     # and the parallelism-independent scaling floor). Above the broadcast
     # limit the bound stops helping and the per-call gate re-engages.
+    from pyspark import StorageLevel
+
+    if pages.storageLevel == StorageLevel.NONE and _recompute_is_expensive(pages):
+        track_persist(pages)
     n_docs = pages.count()
 
     # ---- stage 0: ids + exact-duplicate collapse (compute once per unique text)

@@ -52,8 +52,15 @@ class StreamingDedup:
 
     def _epoch_key(self, epoch_id: int) -> str:
         # epoch ids restart at 0 for a fresh checkpoint (a new query), so
-        # the key must be scoped to the checkpoint identity
-        return f"ckpt={self._checkpoint_dir}#epoch={epoch_id}"
+        # the key must be scoped to the checkpoint IDENTITY — the resolved
+        # filesystem path, not the spelling the caller used: restarting the
+        # same query via a relative path / trailing slash / symlink variant
+        # must produce the same key, or replayed epochs re-ingest and
+        # exactly-once silently degrades to at-least-once (ADVICE r3)
+        import os
+
+        ident = os.path.realpath(os.path.abspath(self._checkpoint_dir or ""))
+        return f"ckpt={ident}#epoch={epoch_id}"
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
