@@ -35,7 +35,11 @@ class DedupConfig:
                                           # degrades to a shuffle instead of OOMing
     # --- execution ---
     shuffle_partitions: int = 32
-    target_partitions: int = 32           # explicit repartition width for band shuffle
+    target_partitions: int = 32           # band-shuffle width hint; the candidate
+                                          # join deliberately relies on its own
+                                          # ENSURE_REQUIREMENTS shuffle (AQE can
+                                          # skew-split it; a user repartition()
+                                          # cannot be split — see lsh.candidate_pairs)
 
     @property
     def num_bands(self) -> int:

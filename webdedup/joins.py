@@ -41,7 +41,18 @@ class PersistScope:
         _LIVE_SCOPES.append(self)
 
     def add(self, df: DataFrame) -> DataFrame:
-        df.persist()
+        import os
+
+        level = os.environ.get("WEBDEDUP_PERSIST_LEVEL")
+        if level:
+            from pyspark import StorageLevel
+
+            # e.g. MEMORY_AND_DISK (serialized columnar batches) vs the
+            # DataFrame default MEMORY_AND_DISK_DESER — scaling-lever knob
+            # (BASELINE.md round 4 measures both under core contention)
+            df.persist(getattr(StorageLevel, level))
+        else:
+            df.persist()
         self._frames.append(df)
         return df
 

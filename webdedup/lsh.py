@@ -66,10 +66,20 @@ def candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     lookup (inverseIndex.cpp:530-561) done set-at-a-time; a < b ordering
     halves the join output and dropDuplicates collapses multi-band
     collisions before the (expensive) verify stage.
+
+    Partitioning by signature band happens through the join's OWN shuffle
+    on (band, band_hash) — deliberately NOT an explicit ``repartition()``
+    first: a user-origin exchange is ineligible for AQE's skew-join rule,
+    so a near-cap hot bucket (the power-law web reality the tombstone's
+    threshold intentionally lets through) would land on ONE task. Measured
+    on a 40k-row hot bucket: with repartition() the join stage runs at the
+    configured width with one task reading the whole bucket; without it AQE
+    splits the skewed partition ~4x (66 tasks vs 16). The
+    ENSURE_REQUIREMENTS shuffle clusters by exactly the same keys, so
+    co-location is unchanged (tests/test_pipeline.py skew gate).
     """
     rows = explode_bands(feat)
     ok = surviving_buckets(rows, cfg).select("band", "band_hash", "doc_id")
-    ok = ok.repartition(cfg.target_partitions, "band", "band_hash")
     left = ok.alias("l")
     right = ok.alias("r")
     pairs = (
