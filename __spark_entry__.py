@@ -180,6 +180,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup(docs, CFG, id_col="doc_id").clusters
 
 
+def q_canonical_docs(spark, sf_dir):
+    """Per-cluster keeper selection (the post-clustering tier-dedup step):
+    every doc with (cluster_id, canonical_id, is_canonical)."""
+    from webdedup.pipeline import select_canonical
+
+    docs = _load(spark, sf_dir, "documents")
+    clusters = dedup(docs, CFG, id_col="doc_id").clusters
+    return select_canonical(clusters, TS.quality_scores(docs))
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Pipeline's verified near-dup pairs (a, b, jaccard_ppm) at J >= 0.8.
 
@@ -650,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall_covered": q_ann_lsh_recall_covered,
         # full-pipeline clusters (recursive-CTE CC oracle)
         "dedup_clusters": q_dedup_clusters,
+        "canonical_docs": q_canonical_docs,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -690,6 +701,39 @@ pairs AS (
   FROM inter i
   JOIN sizes sa ON i.a = sa.doc_id
   JOIN sizes sb ON i.b = sb.doc_id)
+"""
+
+# connected-components suffix shared by the dedup_clusters and canonical_docs
+# oracles: union of the three independently-green edge oracles (word-3-gram
+# near pairs at J >= 0.8, substring containment at the winnowing guarantee
+# length, exact-dup rep->member edges), resolved with a recursive min-label
+# walk — the SQL mirror of components.py's hash-min propagation (cluster_id
+# = min doc_id in component; isolated docs keep their own id via the seed
+# row). Append after _NGRAM_CTE_REP with WITH -> WITH RECURSIVE.
+_CLUSTERS_CTE = """
+, exact_e AS (
+  SELECT r.doc_id AS a, d.doc_id AS b
+  FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) r
+    ON d.text = r.text AND d.doc_id != r.doc_id)
+, rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+, sub_e AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM rep l JOIN rep r ON l.doc_id < r.doc_id
+   AND least(length(l.text), length(r.text)) >= 159
+   AND (contains(l.text, r.text) OR contains(r.text, l.text)))
+, near_e AS (SELECT a, b FROM pairs WHERE jraw >= 800000)
+, edges AS (
+  SELECT a AS src, b AS dst FROM near_e UNION SELECT b, a FROM near_e
+  UNION SELECT a, b FROM sub_e  UNION SELECT b, a FROM sub_e
+  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e)
+, walk(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+, cl AS (
+  SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+  FROM walk GROUP BY id)
 """
 
 # TF-weighted 3-gram sparse vectors (gid = md5-prefix id, tf = gram count) —
@@ -1101,29 +1145,25 @@ FROM documents l JOIN documents r
         # isolated docs keep their own id via the seed row). Verified
         # mismatch-free against the engine at sf0.001 and sf0.01.
         "dedup_clusters": _NGRAM_CTE_REP.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _CLUSTERS_CTE
+        + "SELECT doc_id, cluster_id FROM cl",
+        # canonical keeper per cluster: ttr DESC, n_tokens DESC, doc_id ASC
+        # — same clusters CTE, then the argmax mirrors pipeline.py's
+        # struct-max (ordered-first aggregate in DuckDB)
+        "canonical_docs": _NGRAM_CTE_REP.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _CLUSTERS_CTE
         + """
-, exact_e AS (
-  SELECT r.doc_id AS a, d.doc_id AS b
-  FROM documents d
-  JOIN (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) r
-    ON d.text = r.text AND d.doc_id != r.doc_id)
-, rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
-, sub_e AS (
-  SELECT l.doc_id AS a, r.doc_id AS b
-  FROM rep l JOIN rep r ON l.doc_id < r.doc_id
-   AND least(length(l.text), length(r.text)) >= 159
-   AND (contains(l.text, r.text) OR contains(r.text, l.text)))
-, near_e AS (SELECT a, b FROM pairs WHERE jraw >= 800000)
-, edges AS (
-  SELECT a AS src, b AS dst FROM near_e UNION SELECT b, a FROM near_e
-  UNION SELECT a, b FROM sub_e  UNION SELECT b, a FROM sub_e
-  UNION SELECT a, b FROM exact_e UNION SELECT b, a FROM exact_e)
-, walk(id, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
-SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
-FROM walk GROUP BY id
+, qual AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(floor(1000000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_ppm
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+, best AS (
+  SELECT cluster_id,
+         first(q.doc_id ORDER BY q.ttr_ppm DESC, q.n_tokens DESC, q.doc_id ASC) AS canonical_id
+  FROM cl JOIN qual q USING (doc_id) GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, CAST(b.canonical_id AS BIGINT) AS canonical_id,
+       CAST(CASE WHEN c.doc_id = b.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+FROM cl c JOIN best b USING (cluster_id)
 """,
         "api_kneighbors_cosine": _TF_CTE()
         + """,

@@ -189,3 +189,53 @@ def test_substring_fused_fps_path_matches_udf_path(spark, pages):
         ).collect()
     }
     assert via_fused == via_udf and via_udf
+
+
+def test_select_canonical_ordering_and_coverage(spark):
+    """Keeper = highest ttr_ppm, then longest, then smallest doc_id; every
+    doc appears exactly once with a canonical from its own cluster."""
+    from webdedup.pipeline import select_canonical
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 50), (6, 50)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [
+            # cluster 10: doc 2 wins on ttr
+            (1, 100, 50, 500_000),
+            (2, 100, 90, 900_000),
+            (3, 200, 100, 500_000),
+            # singleton cluster 40
+            (4, 10, 10, 1_000_000),
+            # cluster 50: ttr tie -> doc 6 wins on n_tokens
+            (5, 100, 80, 800_000),
+            (6, 150, 120, 800_000),
+        ],
+        "doc_id long, n_tokens long, n_distinct long, ttr_ppm long",
+    )
+    rows = {
+        r.doc_id: r
+        for r in select_canonical(clusters, quality).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert all(rows[d].canonical_id == 2 for d in (1, 2, 3))
+    assert rows[4].canonical_id == 4
+    assert all(rows[d].canonical_id == 6 for d in (5, 6))
+    assert [rows[d].is_canonical for d in (1, 2, 3, 4, 5, 6)] == [0, 1, 0, 1, 0, 1]
+
+
+def test_select_canonical_id_tiebreak(spark):
+    """Full tie on (ttr, n_tokens) -> smallest doc_id is the keeper."""
+    from webdedup.pipeline import select_canonical
+
+    clusters = spark.createDataFrame(
+        [(7, 7), (9, 7), (8, 7)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(7, 100, 50, 500_000), (8, 100, 50, 500_000), (9, 100, 50, 500_000)],
+        "doc_id long, n_tokens long, n_distinct long, ttr_ppm long",
+    )
+    out = select_canonical(clusters, quality).collect()
+    assert all(r.canonical_id == 7 for r in out)
+    assert sorted(r.doc_id for r in out if r.is_canonical) == [7]

@@ -259,3 +259,47 @@ def _dedup_impl(
 
 def collect_counters(result: DedupResult) -> dict:
     return {k: v() for k, v in result.counters.items()}
+
+
+def select_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Pick one keeper per duplicate cluster — the step a training-data
+    pipeline runs after clustering: keep the highest-quality member, drop
+    the rest. Order: ttr_ppm DESC (type-token ratio), n_tokens DESC
+    (prefer the longer doc on quality ties — near-dups usually differ by a
+    truncation), doc_id ASC (deterministic final tie-break).
+
+    ``clusters`` is (doc_id, cluster_id) from :func:`dedup`;
+    ``quality`` is :func:`webdedup.textstats.quality_scores` output.
+    Returns every doc with its verdict:
+    (doc_id, cluster_id, canonical_id, is_canonical).
+
+    Scale shape: the argmax is a struct-max aggregate (partial map-side
+    combine, one shuffle on cluster_id); the canonical map then joins back
+    on cluster_id — co-partitioned with the aggregate's output, and never
+    broadcast (there are O(n_docs) clusters, so the map is NOT a small
+    dim table).
+    """
+    q = clusters.join(quality, "doc_id")
+    best = (
+        q.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ttr_ppm"),
+                    F.col("n_tokens"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select("cluster_id", (-F.col("b.neg_id")).cast("long").alias("canonical_id"))
+    )
+    return (
+        q.select("doc_id", "cluster_id")
+        .join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).cast("long").alias("is_canonical"),
+        )
+    )
