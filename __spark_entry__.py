@@ -180,6 +180,13 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup(docs, CFG, id_col="doc_id").clusters
 
 
+def q_span_dedup(spark, sf_dir):
+    """Boilerplate token-span removal (C4/MassiveText line-dedup analog):
+    5-token blocks repeated in >= 2 distinct docs are cut everywhere."""
+    docs = _load(spark, sf_dir, "documents")
+    return TS.span_dedup(docs, span=5, min_docs=2)
+
+
 def q_canonical_docs(spark, sf_dir):
     """Per-cluster keeper selection (the post-clustering tier-dedup step):
     every doc with (cluster_id, canonical_id, is_canonical)."""
@@ -661,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-pipeline clusters (recursive-CTE CC oracle)
         "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
+        "span_dedup": q_span_dedup,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1164,6 +1172,34 @@ FROM documents l JOIN documents r
 SELECT c.doc_id, c.cluster_id, CAST(b.canonical_id AS BIGINT) AS canonical_id,
        CAST(CASE WHEN c.doc_id = b.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
 FROM cl c JOIN best b USING (cluster_id)
+""",
+        # boilerplate-span removal: block census on STRINGS (the engine
+        # keys the census on two independent crc32s of the block — 64-bit
+        # key, collision odds ~1e-12 at 1e7 blocks, same documented
+        # tolerance as near_dup_pairs' crc32 gram ids)
+        "span_dedup": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+         i -> array_to_string(list_slice(toks, i*5+1, i*5+5), ' ')) AS blocks FROM t),
+ex AS (SELECT doc_id, u['pos'] AS pos, u['block'] AS block FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(blocks)+1),
+              i -> {'pos': i-1, 'block': blocks[i]})) AS u
+         FROM b)),
+rep AS (SELECT block FROM (
+         SELECT block, count(DISTINCT doc_id) AS nd FROM ex
+         WHERE block <> '' GROUP BY block) WHERE nd >= 2),
+rm AS (SELECT doc_id, pos FROM ex WHERE block IN (SELECT block FROM rep)),
+keep AS (SELECT e.doc_id, e.pos, e.block FROM ex e
+         LEFT JOIN rm ON e.doc_id = rm.doc_id AND e.pos = rm.pos
+         WHERE rm.doc_id IS NULL)
+SELECT b.doc_id,
+       CAST(len(b.blocks) AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM b
+LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id) r USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
+           FROM keep GROUP BY doc_id) k USING (doc_id)
 """,
         "api_kneighbors_cosine": _TF_CTE()
         + """,

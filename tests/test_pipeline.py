@@ -239,3 +239,31 @@ def test_select_canonical_id_tiebreak(spark):
     out = select_canonical(clusters, quality).collect()
     assert all(r.canonical_id == 7 for r in out)
     assert sorted(r.doc_id for r in out if r.is_canonical) == [7]
+
+
+def test_span_dedup_block_semantics(spark):
+    """Aligned repeated 5-token blocks are cut everywhere; the same words at
+    a non-aligned offset survive; short tail blocks are kept verbatim."""
+    from webdedup.textstats import span_dedup
+
+    boiler = "all rights reserved contact us"       # one aligned block
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta eps tail1 tail2"),
+            (2, boiler + " one two three four five"),
+            # same 5 words but shifted one token off the block grid
+            (3, "shift " + boiler + " x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, span=5, min_docs=2).collect()}
+    # docs 1 and 2 lose exactly the aligned boilerplate block
+    assert out[1].n_removed == 1 and out[1].clean_text == \
+        "alpha beta gamma delta eps tail1 tail2"
+    assert out[2].n_removed == 1 and out[2].clean_text == "one two three four five"
+    # doc 3's copy is off-grid: its blocks differ, nothing removed
+    assert out[3].n_removed == 0 and out[3].clean_text == \
+        "shift " + boiler + " x y z w"
+    # tail blocks shorter than span survive as-is (doc 1 had 8 trailing
+    # tokens -> blocks of 5 + 3)
+    assert out[1].n_spans == 3 and out[2].n_spans == 2

@@ -245,3 +245,70 @@ def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
 
 def lang_distribution(docs: DataFrame) -> DataFrame:
     return docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def span_dedup(
+    docs: DataFrame,
+    span: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-span removal — the token-block analog of C4/MassiveText
+    line-level dedup (this corpus has no line structure, so the span unit is
+    ``span`` consecutive tokens, block-aligned): any block whose exact token
+    sequence appears at a block boundary in >= ``min_docs`` distinct docs is
+    cut from every doc. Returns (doc_id, n_spans, n_removed, clean_text).
+
+    Scale shape: the repeated-block census shuffles 64 bits per distinct
+    block (two independent crc32s of the block string — collision odds
+    ~1e-12 at 1e7 blocks), never the text; removed positions flow back as a
+    left-semi join on the block key + a per-doc collect of positions, and
+    the text itself is only shuffled once, by doc_id, for the final
+    rebuild (JVM filter-with-index lambda, no Python).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nb = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), nb - 1),
+        lambda i: F.array_join(F.slice(toks, i * span + 1, span), " "),
+    )
+    d = docs.select("doc_id", blocks.alias("blocks"))
+    ex = d.select(
+        "doc_id", F.posexplode("blocks").alias("pos", "block")
+    ).select(
+        "doc_id",
+        "pos",
+        F.col("block"),
+        F.crc32(F.col("block")).alias("b1"),
+        F.crc32(F.reverse(F.col("block"))).alias("b2"),
+    )
+    rep = (
+        ex.where(F.col("block") != "")
+        .select("b1", "b2", "doc_id")
+        .distinct()
+        .groupBy("b1", "b2")
+        .agg(F.count("*").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("b1", "b2")
+    )
+    removed = (
+        ex.join(rep, ["b1", "b2"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("rm"))
+    )
+    rm = F.coalesce(F.col("rm"), F.array().cast("array<int>"))
+    return (
+        d.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("blocks").cast("long").alias("n_spans"),
+            F.size(rm).cast("long").alias("n_removed"),
+            F.array_join(
+                F.filter(
+                    F.col("blocks"),
+                    lambda b, i: ~F.array_contains(rm, i),
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
