@@ -448,7 +448,14 @@ def run_host_envelope(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # legs overridable for extra measurement windows, e.g. 3->12 (the
+        # largest 4x pair whose ~1.25x slot-overflow still fits the host's
+        # 16 real cores): WEBDEDUP_SCALING_LOW=3 WEBDEDUP_SCALING_HIGH=12
+        print(json.dumps(run_scaling(
+            n_low=int(os.environ.get("WEBDEDUP_SCALING_LOW", "2")),
+            n_high=int(os.environ.get("WEBDEDUP_SCALING_HIGH", "8")),
+            reps=int(os.environ.get("WEBDEDUP_SCALING_REPS", "3")),
+        )))
     elif "--host-envelope" in sys.argv:
         print(json.dumps(run_host_envelope()))
     elif "--featurize-scaling" in sys.argv:
