@@ -316,6 +316,21 @@ def q_ann_lsh_recall_covered(spark, sf_dir):
     return _covered_pairs(planted, out)
 
 
+def q_semantic_dup_clusters(spark, sf_dir):
+    """SemDeDup composition gate, value-checked end-to-end: IVF candidates
+    → exact cosine ≥ 0.9 edges → connected components over base+twin
+    vectors. Planted twins sit at cos ≥ 0.999998 and the strongest
+    background pair at ≤ 0.513 (measured on the fixed testdata), so the
+    true cluster set is analytic: {a, a+OFFSET} per base vector. A hash
+    match ⟺ recall 1.0 AND precision 1.0 AND correct transitive closure
+    at this config."""
+    vecs, _planted = _planted_twins(spark, sf_dir)
+    dim = len(vecs.select("embedding").first()[0])
+    return ann.semantic_dup_clusters(
+        vecs, dim=dim, threshold_e4=9000, k=5, n_cells=64, nprobe=48
+    )
+
+
 def q_substring_pairs(spark, sf_dir):
     """Winnowed-Rabin exact-substring candidate+verify pass (north-rule extra).
 
@@ -669,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "canonical_docs": q_canonical_docs,
         "span_dedup": q_span_dedup,
+        "semantic_dup_clusters": q_semantic_dup_clusters,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1200,6 +1216,17 @@ FROM b
 LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id) r USING (doc_id)
 LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
            FROM keep GROUP BY doc_id) k USING (doc_id)
+""",
+        # SemDeDup composition gate: the true cluster set is analytic
+        # (integer-only) — planted twins at cos ≥ 0.999998 vs background
+        # ≤ 0.513 on the fixed testdata, threshold 0.9 in between, so each
+        # component is exactly {a, a+offset} with min-label a
+        "semantic_dup_clusters": f"""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(vec_id AS BIGINT) AS cluster_id FROM embeddings
+UNION ALL
+SELECT CAST(vec_id + {_TWIN_OFFSET} AS BIGINT) AS vec_id,
+       CAST(vec_id AS BIGINT) AS cluster_id FROM embeddings
 """,
         "api_kneighbors_cosine": _TF_CTE()
         + """,

@@ -99,3 +99,24 @@ def test_sign_lsh_finds_planted_near_dups(spark, clustered_emb):
     got = _pairs(ann.cosine_topk_lsh(clustered_emb, dim=64, k=5))
     recall = len(planted & got) / len(planted)
     assert recall >= 0.95, f"sign-LSH near-dup recall {recall:.4f}"
+
+
+def test_semantic_dup_clusters_transitive_chain(spark):
+    """A chain 0-18-36 degrees: adjacent pairs clear cos>=0.9, the endpoints
+    (cos 0.809) do not — transitive closure must still merge all three;
+    the orthogonal vector stays a singleton."""
+    import math
+
+    def vec(theta_deg):
+        t = math.radians(theta_deg)
+        return [math.cos(t), math.sin(t), 0.0, 0.0]
+
+    rows = [(1, vec(0)), (2, vec(18)), (3, vec(36)), (4, [0.0, 0.0, 1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r.cluster_id
+        for r in ann.semantic_dup_clusters(
+            emb, dim=4, threshold_e4=9000, k=5, n_cells=2, nprobe=2
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4}

@@ -258,3 +258,46 @@ def cosine_topk_lsh(
         .where(F.col("rnk") <= k)
         .select("vec_id", "nn_id", "cos_e4", "rnk")
     )
+
+
+def semantic_dup_clusters(
+    emb: DataFrame,
+    dim: int,
+    threshold_e4: int = 9000,
+    k: int = 5,
+    n_cells: int = 32,
+    nprobe: int = 8,
+    col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding near-duplicate clustering: IVF candidate
+    pairs whose exact re-ranked cosine clears ``threshold_e4`` (floor of
+    1e4·cos) become dup edges; transitive closure via the pipeline's
+    hash-min connected components. Returns (vec_id, cluster_id = min
+    vec_id in component) for EVERY input vector — singletons keep their
+    own id, exactly like the text pipeline's cluster output.
+
+    ``k`` bounds per-vector edge fan-out (the IVF top-k). A vector with
+    more than ``k`` above-threshold neighbors still lands in the right
+    cluster when the dup neighborhood is transitively connected — the
+    standard SemDeDup regime — but the raw pair set itself is k-capped.
+
+    Scale shape: inherits ivf_topk's bounded-sample training + per-cell
+    matmul re-rank; the edge filter and least/greatest canonicalization
+    are JVM-side; components runs O(log d) label rounds with edge-scaled
+    partitions.
+    """
+    from webdedup.components import connected_components
+
+    cand = ivf_topk(emb, dim=dim, k=k, n_cells=n_cells, nprobe=nprobe, col=col)
+    edges = (
+        cand.where(F.col("cos_e4") >= int(threshold_e4))
+        .select(
+            F.least("vec_id", "nn_id").alias("a"),
+            F.greatest("vec_id", "nn_id").alias("b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    verts = emb.select(F.col("vec_id").alias("id"))
+    return connected_components(verts, edges).select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
