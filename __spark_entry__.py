@@ -1190,9 +1190,9 @@ SELECT c.doc_id, c.cluster_id, CAST(b.canonical_id AS BIGINT) AS canonical_id,
 FROM cl c JOIN best b USING (cluster_id)
 """,
         # boilerplate-span removal: block census on STRINGS (the engine
-        # keys the census on two independent crc32s of the block — 64-bit
-        # key, collision odds ~1e-12 at 1e7 blocks, same documented
-        # tolerance as near_dup_pairs' crc32 gram ids)
+        # keys the census on xxhash64 of the block — 64-bit key, collision
+        # odds ~1e-12 at 1e7 blocks, same documented tolerance as
+        # near_dup_pairs' crc32 gram ids)
         "span_dedup": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
 b AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),

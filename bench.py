@@ -206,6 +206,18 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
     def _dedup():
         dedup(spark.read.parquet(path), E.CFG).clusters.count()
 
+    def _span():
+        # boilerplate-span removal over the full corpus; the agg touches
+        # n_removed AND clean_text so Catalyst cannot prune the rebuild
+        from webdedup.textstats import span_dedup
+
+        d = spark.read.parquet(path).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        span_dedup(d).agg(
+            F.sum("n_removed"), F.sum(F.length("clean_text"))
+        ).collect()
+
     def _kneighbors():
         # max_bin_size=50 = the REFERENCE's own default: common-token argmin
         # buckets on web text are huge, and the reference semantics tombstone
@@ -222,9 +234,10 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
     spark.catalog.clearCache()
     release_persisted()
 
-    timings: dict[str, list] = {"dedup": [], "kneighbors": []}
+    timings: dict[str, list] = {"dedup": [], "kneighbors": [], "span_dedup": []}
     for _ in range(max(1, reps)):
-        for name, fn in (("dedup", _dedup), ("kneighbors", _kneighbors)):
+        for name, fn in (("dedup", _dedup), ("kneighbors", _kneighbors),
+                         ("span_dedup", _span)):
             t0 = time.perf_counter()
             fn()
             timings[name].append(round(time.perf_counter() - t0, 3))
@@ -236,6 +249,7 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
         return v[len(v) // 2]
 
     ded, knn = med(timings["dedup"]), med(timings["kneighbors"])
+    spn = med(timings["span_dedup"])
     spark.stop()
     return {
         "n_docs": n,
@@ -246,6 +260,8 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
         "kneighbors_sec": knn,
         "kneighbors_docs_per_sec": round(n / knn, 1),
         "kneighbors_vs_dedup": round(knn / ded, 2),
+        "span_dedup_sec": spn,
+        "span_dedup_pages_per_sec": round(n / spn, 1),
         "rep_timings": timings,
     }
 
