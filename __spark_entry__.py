@@ -180,6 +180,16 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup(docs, CFG, id_col="doc_id").clusters
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Full tier-dedup composition, value-checked end-to-end: clustering →
+    canonical keeper → quality gate → boilerplate-span removal over the
+    survivors."""
+    from webdedup.pipeline import clean_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    return clean_corpus(docs, CFG)
+
+
 def q_span_dedup(spark, sf_dir):
     """Boilerplate token-span removal (C4/MassiveText line-dedup analog):
     5-token blocks repeated in >= 2 distinct docs are cut everywhere."""
@@ -685,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": q_canonical_docs,
         "span_dedup": q_span_dedup,
         "semantic_dup_clusters": q_semantic_dup_clusters,
+        "clean_corpus": q_clean_corpus,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1216,6 +1227,48 @@ FROM b
 LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id) r USING (doc_id)
 LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
            FROM keep GROUP BY doc_id) k USING (doc_id)
+""",
+        # full tier-dedup composition: clusters CTE + canonical argmax +
+        # ttr quality gate + span census over the SURVIVING docs only
+        "clean_corpus": _NGRAM_CTE_REP.replace("WITH ", "WITH RECURSIVE ", 1)
+        + _CLUSTERS_CTE
+        + """
+, qual AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(floor(1000000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_ppm
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+, best AS (
+  SELECT cluster_id,
+         first(q.doc_id ORDER BY q.ttr_ppm DESC, q.n_tokens DESC, q.doc_id ASC) AS canonical_id
+  FROM cl JOIN qual q USING (doc_id) GROUP BY cluster_id)
+, keepids AS (
+  SELECT c.doc_id, c.cluster_id FROM cl c
+  JOIN best b USING (cluster_id)
+  JOIN qual q ON q.doc_id = c.doc_id
+  WHERE c.doc_id = b.canonical_id AND q.ttr_ppm >= 300000)
+, kt AS (SELECT k.doc_id, k.cluster_id, string_split(d.text, ' ') AS toks
+         FROM keepids k JOIN documents d USING (doc_id))
+, kb AS (SELECT doc_id, cluster_id,
+         list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS INT)),
+              i -> array_to_string(list_slice(toks, i*5+1, i*5+5), ' ')) AS blocks
+         FROM kt)
+, kex AS (SELECT doc_id, u['pos'] AS pos, u['block'] AS block FROM (
+         SELECT doc_id, unnest(list_transform(range(1, len(blocks)+1),
+              i -> {'pos': i-1, 'block': blocks[i]})) AS u FROM kb))
+, krep AS (SELECT block FROM (
+         SELECT block, count(DISTINCT doc_id) AS nd FROM kex
+         WHERE block <> '' GROUP BY block) WHERE nd >= 2)
+, krm AS (SELECT doc_id, pos FROM kex WHERE block IN (SELECT block FROM krep))
+, kkeep AS (SELECT e.doc_id, e.pos, e.block FROM kex e
+         LEFT JOIN krm ON e.doc_id = krm.doc_id AND e.pos = krm.pos
+         WHERE krm.doc_id IS NULL)
+SELECT kb.doc_id, CAST(kb.cluster_id AS BIGINT) AS cluster_id,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(k2.clean_text, '') AS clean_text
+FROM kb
+LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM krm GROUP BY doc_id) r USING (doc_id)
+LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
+           FROM kkeep GROUP BY doc_id) k2 USING (doc_id)
 """,
         # SemDeDup composition gate: the true cluster set is analytic
         # (integer-only) — planted twins at cos ≥ 0.999998 vs background

@@ -267,3 +267,29 @@ def test_span_dedup_block_semantics(spark):
     # tail blocks shorter than span survive as-is (doc 1 had 8 trailing
     # tokens -> blocks of 5 + 3)
     assert out[1].n_spans == 3 and out[2].n_spans == 2
+
+
+def test_clean_corpus_composition(spark):
+    """Exact-dup pair collapses to one keeper, the low-quality doc is
+    dropped by the ttr gate, and boilerplate shared by two survivors is
+    cut from both."""
+    from webdedup.pipeline import clean_corpus
+
+    boiler = "all rights reserved contact us"
+    t_dup = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, t_dup),
+        (2, t_dup),                      # exact dup of 1 -> same cluster
+        (3, " ".join(["spam"] * 20)),    # ttr 50k ppm -> quality-dropped
+        (4, boiler + " kilo lima mike november oscar papa quebec romeo"),
+        (5, boiler + " sierra tango uniform victor whiskey xray yankee zulu"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_corpus(docs, CFG).collect()}
+    assert set(out) == {1, 4, 5}                      # 2 deduped, 3 dropped
+    assert out[1].cluster_id == 1 and out[1].n_removed == 0
+    assert out[1].clean_text == t_dup
+    for d in (4, 5):
+        assert out[d].n_removed == 1                  # shared aligned block
+        assert not out[d].clean_text.startswith(boiler)
+    assert out[4].clean_text == "kilo lima mike november oscar papa quebec romeo"

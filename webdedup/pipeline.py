@@ -303,3 +303,44 @@ def select_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
             (F.col("doc_id") == F.col("canonical_id")).cast("long").alias("is_canonical"),
         )
     )
+
+
+def clean_corpus(
+    pages: DataFrame,
+    cfg: DedupConfig | None = None,
+    span: int = 5,
+    min_span_docs: int = 2,
+    min_ttr_ppm: int = 300_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """The full tier-dedup pipeline as one operator — what a training-data
+    run actually executes: near-dup clustering (:func:`dedup`) → keep the
+    best doc per cluster (:func:`select_canonical`) → cut repeated
+    boilerplate spans across the keepers
+    (:func:`webdedup.textstats.span_dedup`) → drop low-quality keepers
+    (type-token ratio below ``min_ttr_ppm``).
+
+    Returns one row per SURVIVING doc:
+    (doc_id, cluster_id, n_removed, clean_text).
+
+    Each stage keeps its own scale shape (documented at its definition);
+    the composition adds only key-column joins.
+    """
+    from webdedup.textstats import quality_scores, span_dedup
+
+    cfg = cfg or DedupConfig()
+    clusters = dedup(pages, cfg, text_col=text_col, id_col="doc_id").clusters
+    qual = quality_scores(pages)
+    canon = select_canonical(clusters, qual)
+    keep_ids = (
+        canon.where(F.col("is_canonical") == 1)
+        .join(qual.where(F.col("ttr_ppm") >= min_ttr_ppm), "doc_id", "left_semi")
+        .select("doc_id", "cluster_id")
+    )
+    kept = pages.join(keep_ids, "doc_id").select("doc_id", "cluster_id", text_col)
+    cleaned = span_dedup(kept, span=span, min_docs=min_span_docs, text_col=text_col)
+    return (
+        kept.select("doc_id", "cluster_id")
+        .join(cleaned, "doc_id")
+        .select("doc_id", "cluster_id", "n_removed", "clean_text")
+    )
