@@ -293,3 +293,31 @@ def test_clean_corpus_composition(spark):
         assert out[d].n_removed == 1                  # shared aligned block
         assert not out[d].clean_text.startswith(boiler)
     assert out[4].clean_text == "kilo lima mike november oscar papa quebec romeo"
+
+
+def test_span_dedup_reconstruction_invariant(spark):
+    """With an unreachable min_docs the rebuild must return every text
+    byte-identically — split/block/join must be a perfect inverse even for
+    empty strings, repeated/leading/trailing spaces (empty tokens), unicode,
+    and token counts straddling block boundaries."""
+    from webdedup.textstats import span_dedup
+
+    texts = [
+        "",
+        " ",
+        "a",
+        "a  b",
+        "  leading and trailing  ",
+        "exactly five tokens right here",
+        "six tokens spill into block two now",
+        "ünïcode tökens — mixed, with punctuation!",
+        " ".join(f"tok{i}" for i in range(23)),
+        " ".join(f"tok{i % 7}" for i in range(1000)),
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(docs, min_docs=10**9).collect()}
+    for i, txt in enumerate(texts):
+        assert out[i].n_removed == 0
+        assert out[i].clean_text == txt, f"doc {i!r} not reconstructed"
