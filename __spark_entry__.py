@@ -629,6 +629,58 @@ def q_wav_features(spark, sf_dir):
     return feats.select("media_id", n_samples, *cols)
 
 
+def q_image_features(spark, sf_dir):
+    """REAL image decode, value-checked end-to-end: each document's text
+    bytes become the RGB raster of a genuine binary PPM (P6) — 16 pixels
+    wide, zero-padded to full rows, with a '#' comment line in the header
+    so a fixed-offset parser would fail — then decoded back by the
+    pure-numpy header tokenizer (multimodal.decode_ppm, strict mode) and
+    reduced to exact per-channel histograms + dimensions. The DuckDB
+    oracle computes the same values directly from the text characters:
+    any header-tokenizing/raster-offset/channel-interleave bug shifts the
+    counts and breaks the hash."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from webdedup.multimodal import (
+        encode_ppm,
+        extract_features,
+        ppm_channel_histogram,
+    )
+
+    @pandas_udf(BinaryType())
+    def to_ppm(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            n_pix = max(1, -(-len(b) // 3))
+            h = -(-n_pix // 16)
+            raster = np.zeros(h * 48, dtype=np.uint8)
+            raster[: len(b)] = b
+            out.append(encode_ppm(raster.reshape(h, 16, 3)))
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), to_ppm("text").alias("payload")
+    )
+    feats = extract_features(
+        media, decoder=lambda p: ppm_channel_histogram(p, 8), dim=26,
+        strict=True,
+    )
+    names = [f"{c}{k:02d}" for c in "rgb" for k in range(8)]
+    cols = [
+        F.element_at("features", i + 3).cast("long").alias(n)
+        for i, n in enumerate(names)
+    ]
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("long").alias("width"),
+        F.element_at("features", 2).cast("long").alias("height"),
+        *cols,
+    )
+
+
 def q_api_partial_fit(spark, sf_dir):
     """S2 value gate: fit on half the corpus, partial_fit the rest — the
     final index state must be IDENTICAL to one-shot fit, so this shares
@@ -688,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "api_partial_fit": q_api_partial_fit,
         "multimodal_features": q_multimodal_features,
         "wav_features": q_wav_features,
+        "image_features": q_image_features,
         "ann_ivf_recall_covered": q_ann_ivf_recall_covered,
         "ann_lsh_recall_covered": q_ann_lsh_recall_covered,
         # full-pipeline clusters (recursive-CTE CC oracle)
@@ -1369,4 +1422,33 @@ SELECT media_id, n_samples,
             for i in range(16)
         )
         + "\nFROM hist GROUP BY media_id, n_samples\n",
+        # real PPM decode: text bytes → 16-wide zero-padded RGB raster →
+        # P6 container → header-tokenizing parse → per-channel histograms;
+        # the oracle recomputes channel c = (j-1) % 3, bucket = byte // 32
+        # (pad bytes are 0) straight from the characters
+        "image_features": """
+WITH t AS (
+  SELECT doc_id AS media_id, text, length(text) AS n,
+         CAST(ceil(CAST(ceil(greatest(length(text), 1) / 3.0) AS BIGINT) / 16.0) AS BIGINT) AS h
+  FROM documents),
+ch AS (
+  SELECT media_id, h,
+         unnest(list_transform(range(1, h * 48 + 1),
+            j -> {'c': CAST((j - 1) % 3 AS INT),
+                  'k': CAST((CASE WHEN j <= n
+                             THEN ascii(substring(text, CAST(j AS INT), 1))
+                             ELSE 0 END) // 32 AS INT)})) AS u
+  FROM t),
+hist AS (
+  SELECT media_id, h, u['c'] AS c, u['k'] AS k, count(*) AS cnt
+  FROM ch GROUP BY 1, 2, 3, 4)
+SELECT media_id, CAST(16 AS BIGINT) AS width, h AS height,
+"""
+        + ",\n".join(
+            f"       CAST(coalesce(sum(CASE WHEN c = {c} AND k = {k} THEN cnt END), 0)"
+            f" AS BIGINT) AS {name}{k:02d}"
+            for c, name in enumerate("rgb")
+            for k in range(8)
+        )
+        + "\nFROM hist GROUP BY media_id, h\n",
     }

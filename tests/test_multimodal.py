@@ -129,3 +129,67 @@ def test_extract_features_strict_mode(spark):
 
     with pytest.raises(Exception):
         extract_features(media, decoder=dec, dim=16, strict=True).collect()
+
+
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    from webdedup.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1, 3), (3, 5, 3), (17, 16, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(px)) == px).all()
+        assert (decode_ppm(encode_ppm(px, comment=None)) == px).all()
+
+
+def test_ppm_decoder_tokenizes_header_not_fixed_offset():
+    """A comment line containing digit-bearing text between magic and dims
+    must be skipped; width/height split across varied whitespace must
+    parse. A fixed-offset slice would read garbage for both."""
+    import numpy as np
+
+    from webdedup.multimodal import decode_ppm, encode_ppm
+
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    assert (decode_ppm(encode_ppm(px, comment=b"9 9 9 maxval 1")) == px).all()
+    hand = b"P6\n# c1\n# c2\n4\t2 # trailing\n255\n" + px.tobytes()
+    assert (decode_ppm(hand) == px).all()
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"P5\n1 1\n255\n\x00\x00\x00",           # wrong magic
+        b"P6\n2 2\n254\n" + b"\x00" * 12,        # unsupported maxval
+        b"P6\n4 4\n255\n\x00\x00",               # truncated raster
+        b"P6\nx 2\n255\n" + b"\x00" * 24,        # non-integer token
+    ],
+)
+def test_ppm_decoder_rejects_malformed(payload):
+    import pytest as _pytest
+
+    from webdedup.multimodal import decode_ppm
+
+    with _pytest.raises(ValueError):
+        decode_ppm(payload)
+
+
+def test_ppm_channel_histogram_counts():
+    """Histogram is per interleaved channel: a raster whose R bytes are all
+    0, G all 100, B all 255 lands one full count in exactly one bucket per
+    channel, and width/height lead the feature vector."""
+    import numpy as np
+
+    from webdedup.multimodal import encode_ppm, ppm_channel_histogram
+
+    px = np.zeros((2, 3, 3), dtype=np.uint8)
+    px[:, :, 1] = 100
+    px[:, :, 2] = 255
+    f = ppm_channel_histogram(encode_ppm(px), bins=8)
+    assert f[0] == 3 and f[1] == 2            # width, height
+    r, g, b = f[2:10], f[10:18], f[18:26]
+    assert r[0] == 6 and r[1:].sum() == 0
+    assert g[100 // 32] == 6 and g.sum() == 6
+    assert b[7] == 6 and b[:7].sum() == 0

@@ -216,3 +216,95 @@ def sample_frames(video: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------- PPM (P6): real pure-numpy image container codec ----------------
+
+
+def encode_ppm(pixels, comment: bytes | None = b"synthetic") -> bytes:
+    """Serialize an (h, w, 3) uint8 RGB array into a binary PPM (P6).
+
+    ``comment``: a '#' comment line emitted between the magic and the
+    dimensions (default present) — real-world PPMs carry them, so
+    round-trips through this writer prove the decoder tokenizes the header
+    rather than slicing fixed offsets. None omits it.
+    """
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got {px.shape}")
+    h, w, _ = px.shape
+    header = b"P6\n"
+    if comment is not None:
+        header += b"# " + comment + b"\n"
+    header += f"{w} {h}\n255\n".encode("ascii")
+    return header + px.tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary PPM (P6) → (h, w, 3) uint8 array (pure numpy).
+
+    A real header tokenizer, not a fixed-offset slice: validates the P6
+    magic, reads width/height/maxval as whitespace-separated tokens with
+    '#'-to-newline comments allowed between them, requires maxval 255,
+    then decodes exactly w*h*3 raster bytes after the single whitespace
+    byte that terminates the header. Raises ValueError on anything
+    malformed — ``extract_features(strict=True)`` propagates, strict=False
+    degrades to zero features.
+    """
+    import numpy as np
+
+    if payload is None or len(payload) < 2 or payload[0:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    pos = 2
+    vals: list[int] = []
+
+    def _skip_ws_and_comments(p: int) -> int:
+        while p < len(payload):
+            c = payload[p : p + 1]
+            if c in b" \t\r\n":
+                p += 1
+            elif c == b"#":
+                while p < len(payload) and payload[p : p + 1] != b"\n":
+                    p += 1
+            else:
+                break
+        return p
+
+    while len(vals) < 3:
+        pos = _skip_ws_and_comments(pos)
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header: expected integer token")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval: {maxval}")
+    if pos >= len(payload) or payload[pos : pos + 1] not in b" \t\r\n":
+        raise ValueError("malformed PPM header: missing raster separator")
+    pos += 1  # exactly ONE whitespace byte before the raster
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated PPM raster: {len(raster)} < {need}")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def ppm_channel_histogram(payload: bytes, bins: int = 8):
+    """Decoded per-channel histograms + dimensions: [width, height,
+    R-buckets..., G-buckets..., B-buckets...] (integer-exact →
+    hash-stable vs a SQL oracle). The decode step is the REAL parser
+    above."""
+    import numpy as np
+
+    px = decode_ppm(payload)
+    h, w, _ = px.shape
+    width = 256 // bins
+    out = [np.int64(w), np.int64(h)]
+    for c in range(3):
+        idx = px[:, :, c].astype(np.int64).ravel() // width
+        out.extend(np.bincount(idx, minlength=bins).astype(np.int64))
+    return np.array(out, dtype=np.int64)
