@@ -824,6 +824,19 @@ _CLUSTERS_CTE = """
   FROM walk GROUP BY id)
 """
 
+# quality-score CTE shared by the canonical_docs and clean_corpus oracles
+# (must mirror textstats.quality_scores exactly — edit in ONE place)
+_QUAL_CTE = """
+, qual AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CAST(floor(1000000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_ppm
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+, best AS (
+  SELECT cluster_id,
+         first(q.doc_id ORDER BY q.ttr_ppm DESC, q.n_tokens DESC, q.doc_id ASC) AS canonical_id
+  FROM cl JOIN qual q USING (doc_id) GROUP BY cluster_id)
+"""
+
 # TF-weighted 3-gram sparse vectors (gid = md5-prefix id, tf = gram count) —
 # the valued-row input shared by the cosine/euclid API oracles; all dot
 # products are exact BIGINTs so the float division/sqrt are bit-identical
@@ -1240,15 +1253,8 @@ FROM documents l JOIN documents r
         # struct-max (ordered-first aggregate in DuckDB)
         "canonical_docs": _NGRAM_CTE_REP.replace("WITH ", "WITH RECURSIVE ", 1)
         + _CLUSTERS_CTE
+        + _QUAL_CTE
         + """
-, qual AS (
-  SELECT doc_id, len(toks) AS n_tokens,
-         CAST(floor(1000000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_ppm
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-, best AS (
-  SELECT cluster_id,
-         first(q.doc_id ORDER BY q.ttr_ppm DESC, q.n_tokens DESC, q.doc_id ASC) AS canonical_id
-  FROM cl JOIN qual q USING (doc_id) GROUP BY cluster_id)
 SELECT c.doc_id, c.cluster_id, CAST(b.canonical_id AS BIGINT) AS canonical_id,
        CAST(CASE WHEN c.doc_id = b.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
 FROM cl c JOIN best b USING (cluster_id)
@@ -1282,18 +1288,14 @@ LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
            FROM keep GROUP BY doc_id) k USING (doc_id)
 """,
         # full tier-dedup composition: clusters CTE + canonical argmax +
-        # ttr quality gate + span census over the SURVIVING docs only
+        # ttr quality gate + span census over the SURVIVING docs only.
+        # The kb/kex/krep/krm/kkeep chain mirrors the span_dedup oracle's
+        # b/ex/rep/rm/keep (different source table + carried cluster_id) —
+        # keep the two in lockstep when span semantics change.
         "clean_corpus": _NGRAM_CTE_REP.replace("WITH ", "WITH RECURSIVE ", 1)
         + _CLUSTERS_CTE
+        + _QUAL_CTE
         + """
-, qual AS (
-  SELECT doc_id, len(toks) AS n_tokens,
-         CAST(floor(1000000.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS ttr_ppm
-  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
-, best AS (
-  SELECT cluster_id,
-         first(q.doc_id ORDER BY q.ttr_ppm DESC, q.n_tokens DESC, q.doc_id ASC) AS canonical_id
-  FROM cl JOIN qual q USING (doc_id) GROUP BY cluster_id)
 , keepids AS (
   SELECT c.doc_id, c.cluster_id FROM cl c
   JOIN best b USING (cluster_id)
@@ -1406,22 +1408,28 @@ SELECT media_id, n_bytes,
         # histogram bucket (s+32768)//4096 = ascii(c)*257//4096 — computed
         # here straight from the characters, while the Spark side goes
         # text → PCM → RIFF/WAVE container → chunk-walking parser → histogram
+        # anchored on documents with a LEFT JOIN so an empty-text doc
+        # still yields its (n_samples=0, all-zero histogram) row like the
+        # engine does — unnest over an empty range emits no rows
         "wav_features": """
-WITH ch AS (
-  SELECT doc_id AS media_id, length(text) AS n_samples,
-         unnest(list_transform(range(1, length(text) + 1),
+WITH base AS (
+  SELECT doc_id AS media_id, length(text) AS n_samples, text FROM documents),
+ch AS (
+  SELECT media_id,
+         unnest(list_transform(range(1, n_samples + 1),
                 i -> (ascii(substring(text, CAST(i AS INT), 1)) * 257) // 4096)) AS bucket
-  FROM documents),
+  FROM base WHERE n_samples > 0),
 hist AS (
-  SELECT media_id, n_samples, bucket, count(*) AS c FROM ch GROUP BY 1, 2, 3)
-SELECT media_id, n_samples,
+  SELECT media_id, bucket, count(*) AS c FROM ch GROUP BY 1, 2)
+SELECT b.media_id, b.n_samples,
 """
         + ",\n".join(
-            f"       CAST(coalesce(sum(CASE WHEN bucket = {i} THEN c END), 0)"
+            f"       CAST(coalesce(sum(CASE WHEN h.bucket = {i} THEN h.c END), 0)"
             f" AS BIGINT) AS h{i:02d}"
             for i in range(16)
         )
-        + "\nFROM hist GROUP BY media_id, n_samples\n",
+        + "\nFROM base b LEFT JOIN hist h USING (media_id)"
+        + "\nGROUP BY b.media_id, b.n_samples\n",
         # real PPM decode: text bytes → 16-wide zero-padded RGB raster →
         # P6 container → header-tokenizing parse → per-channel histograms;
         # the oracle recomputes channel c = (j-1) % 3, bucket = byte // 32

@@ -137,3 +137,32 @@ def test_stale_substr_fps_config_falls_back_to_recompute(spark, tmp_path, old_cf
     # the store's meta now marks the fps column untrusted for any config
     meta = eng.work.meta("features").get("substr_fps_cfg")
     assert meta == {"mixed": True} or meta is None
+
+
+def test_scope_stack_is_thread_local(spark):
+    """A scope opened on another thread (the Structured Streaming
+    foreachBatch pattern) must not capture this thread's track_persist
+    calls, and vice versa."""
+    import threading
+
+    from webdedup.joins import scoped_persists, track_persist
+
+    captured = {}
+
+    def worker():
+        with scoped_persists() as ws:
+            wdf = track_persist(spark.range(3))
+            wdf.count()
+            captured["worker"] = list(ws._frames)
+            ws.release()
+
+    with scoped_persists() as ms:
+        t = threading.Thread(target=worker)
+        t.start()
+        t.join()
+        mdf = track_persist(spark.range(5))
+        mdf.count()
+        assert ms._frames == [mdf]          # worker frame did NOT leak in
+        assert len(captured["worker"]) == 1
+        assert captured["worker"][0] is not mdf
+        ms.release()

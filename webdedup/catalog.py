@@ -100,6 +100,11 @@ class Catalog:
         ``meta_update`` merges into the table-level ``meta`` dict in the
         SAME atomic manifest swap (never a separate write — a crash between
         data and meta commits could otherwise leave them inconsistent).
+        On a keyed REPLAY (key already manifested) nothing is applied —
+        including ``meta_update``: the original commit carried data, key,
+        and meta in one swap, so the stored meta reflects the config the
+        snapshot was actually written under; a replay arriving with a
+        different meta_update must not relabel it.
         """
         import shutil
 

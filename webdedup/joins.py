@@ -50,6 +50,11 @@ class PersistScope:
             # e.g. MEMORY_AND_DISK (serialized columnar batches) vs the
             # DataFrame default MEMORY_AND_DISK_DESER — scaling-lever knob
             # (BASELINE.md round 4 measures both under core contention)
+            if not isinstance(getattr(StorageLevel, level, None), StorageLevel):
+                raise ValueError(
+                    f"invalid WEBDEDUP_PERSIST_LEVEL={level!r}; expected a "
+                    "pyspark.StorageLevel name like MEMORY_AND_DISK"
+                )
             df.persist(getattr(StorageLevel, level))
         else:
             df.persist()
@@ -74,28 +79,50 @@ _DEFAULT_SCOPE = PersistScope.__new__(PersistScope)
 _DEFAULT_SCOPE._frames = []
 #: every scope not yet released — release_persisted() drains all of them
 _LIVE_SCOPES: list[PersistScope] = [_DEFAULT_SCOPE]
-#: innermost active scope; single-threaded driver ⇒ a plain stack suffices
-_SCOPE_STACK: list[PersistScope] = [_DEFAULT_SCOPE]
+
+# The active-scope stack is THREAD-LOCAL: Structured Streaming runs
+# foreachBatch (→ IncrementalDedup.process → scoped_persists) on the
+# stream-execution thread while the main thread may be inside its own
+# dedup() run — a shared stack would route one thread's track_persist
+# calls into the other thread's scope and let a finishing micro-batch
+# release a concurrent run's caches mid-flight. Each thread starts at the
+# shared default scope.
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _stack() -> list:
+    s = getattr(_TLS, "stack", None)
+    if s is None:
+        s = _TLS.stack = [_DEFAULT_SCOPE]
+    return s
 
 
 class scoped_persists:
-    """Context manager: route track_persist() calls to a fresh PersistScope
-    for the duration of the block WITHOUT releasing on exit (the run's
-    results are lazy — the caller releases via the returned scope once they
-    are materialized)."""
+    """Context manager: route this THREAD's track_persist() calls to a
+    fresh PersistScope for the duration of the block WITHOUT releasing on
+    exit (the run's results are lazy — the caller releases via the
+    returned scope once they are materialized)."""
 
     def __enter__(self) -> PersistScope:
         self.scope = PersistScope()
-        _SCOPE_STACK.append(self.scope)
+        _stack().append(self.scope)
         return self.scope
 
     def __exit__(self, *exc) -> None:
-        _SCOPE_STACK.pop()
+        # pop by identity: a mis-nested exit (another context exited out of
+        # order on this thread) must not silently mis-route later tracking
+        s = _stack()
+        if s and s[-1] is self.scope:
+            s.pop()
+        elif self.scope in s:
+            s.remove(self.scope)
 
 
 def track_persist(df: DataFrame) -> DataFrame:
-    """persist() + register with the innermost scope for a later release."""
-    return _SCOPE_STACK[-1].add(df)
+    """persist() + register with this thread's innermost scope."""
+    return _stack()[-1].add(df)
 
 
 def release_persisted() -> int:

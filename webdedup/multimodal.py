@@ -119,6 +119,8 @@ def decode_wav_pcm(payload: bytes):
         if len(body) < size:
             raise ValueError(f"truncated chunk {cid!r}")
         if cid == b"fmt ":
+            if size < 16:
+                raise ValueError(f"malformed fmt chunk: size {size} < 16")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

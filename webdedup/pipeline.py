@@ -74,11 +74,22 @@ _EXPENSIVE_PLAN_NODES = (
 
 
 def _recompute_is_expensive(df: DataFrame) -> bool:
+    # Inspect NODE CLASS NAMES from the logical plan's JSON, not the
+    # pretty-printed tree: the toString() form embeds column names and
+    # file paths, so a corpus with a 'JoinDate' column or a
+    # '/data/UnionSquare/' path would false-positive on substring
+    # matching and double-cache a plain scan.
+    import re
+
     try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        plan_json = df._jdf.queryExecution().optimizedPlan().toJSON()
     except Exception:
         return True  # can't inspect — persist defensively
-    return any(tok in plan for tok in _EXPENSIVE_PLAN_NODES)
+    classes = re.findall(r'"class"\s*:\s*"([^"]+)"', plan_json)
+    node_names = {c.rsplit(".", 1)[-1] for c in classes}
+    return any(
+        tok in name for name in node_names for tok in _EXPENSIVE_PLAN_NODES
+    )
 
 
 def dedup(
@@ -279,6 +290,10 @@ def select_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     broadcast (there are O(n_docs) clusters, so the map is NOT a small
     dim table).
     """
+    # doc_id ASC inside a MAX: bitwise NOT is a total order-REVERSING map
+    # over the full signed-64 range with no overflow (unlike negation,
+    # which wraps/throws on Long.MIN_VALUE — xxhash64-derived ids span the
+    # whole range)
     q = clusters.join(quality, "doc_id")
     best = (
         q.groupBy("cluster_id")
@@ -287,11 +302,14 @@ def select_canonical(clusters: DataFrame, quality: DataFrame) -> DataFrame:
                 F.struct(
                     F.col("ttr_ppm"),
                     F.col("n_tokens"),
-                    (-F.col("doc_id")).alias("neg_id"),
+                    F.bitwise_not(F.col("doc_id")).alias("not_id"),
                 )
             ).alias("b")
         )
-        .select("cluster_id", (-F.col("b.neg_id")).cast("long").alias("canonical_id"))
+        .select(
+            "cluster_id",
+            F.bitwise_not(F.col("b.not_id")).cast("long").alias("canonical_id"),
+        )
     )
     return (
         q.select("doc_id", "cluster_id")
@@ -325,18 +343,28 @@ def clean_corpus(
 
     Each stage keeps its own scale shape (documented at its definition);
     the composition adds only key-column joins.
+
+    Cache lifecycle: the keeper id set is eagerly localCheckpoint-ed and
+    the inner dedup run's persist scope is released immediately after, so
+    the pipeline's large caches never outlive this call. The final span
+    stage persists one narrow hashed-block table into the CALLER's active
+    persist scope (it backs the lazily returned frame) — wrap the call in
+    ``scoped_persists()`` or call ``release_persisted()`` after
+    materializing the output.
     """
     from webdedup.textstats import quality_scores, span_dedup
 
     cfg = cfg or DedupConfig()
-    clusters = dedup(pages, cfg, text_col=text_col, id_col="doc_id").clusters
+    res = dedup(pages, cfg, text_col=text_col, id_col="doc_id")
     qual = quality_scores(pages)
-    canon = select_canonical(clusters, qual)
+    canon = select_canonical(res.clusters, qual)
     keep_ids = (
         canon.where(F.col("is_canonical") == 1)
         .join(qual.where(F.col("ttr_ppm") >= min_ttr_ppm), "doc_id", "left_semi")
         .select("doc_id", "cluster_id")
+        .localCheckpoint(eager=True)
     )
+    res.release()
     kept = pages.join(keep_ids, "doc_id").select("doc_id", "cluster_id", text_col)
     cleaned = span_dedup(kept, span=span, min_docs=min_span_docs, text_col=text_col)
     return (

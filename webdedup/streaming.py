@@ -53,13 +53,21 @@ class StreamingDedup:
     def _epoch_key(self, epoch_id: int) -> str:
         # epoch ids restart at 0 for a fresh checkpoint (a new query), so
         # the key must be scoped to the checkpoint IDENTITY — the resolved
-        # filesystem path, not the spelling the caller used: restarting the
-        # same query via a relative path / trailing slash / symlink variant
-        # must produce the same key, or replayed epochs re-ingest and
-        # exactly-once silently degrades to at-least-once (ADVICE r3)
+        # location, not the spelling the caller used: restarting the same
+        # query via a relative path / trailing slash / symlink variant must
+        # produce the same key, or replayed epochs re-ingest and
+        # exactly-once silently degrades to at-least-once (ADVICE r3).
+        # URI-form locations (file://, hdfs://, s3a://) must NOT go through
+        # realpath/abspath — that would splice in the driver's cwd and make
+        # the key restart-unstable; they are already absolute, so only the
+        # trailing slash is normalized.
         import os
 
-        ident = os.path.realpath(os.path.abspath(self._checkpoint_dir or ""))
+        loc = self._checkpoint_dir or ""
+        if "://" in loc:
+            ident = loc.rstrip("/")
+        else:
+            ident = os.path.realpath(os.path.abspath(loc))
         return f"ckpt={ident}#epoch={epoch_id}"
 
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
