@@ -59,6 +59,12 @@ class PersistScope:
         else:
             df.persist()
         self._frames.append(df)
+        # a scope can be bulk-released (release_persisted on another
+        # thread) while still active on this thread's stack; the moment it
+        # tracks a new frame it must be live again or that frame escapes
+        # every future bulk release
+        if self not in _LIVE_SCOPES:
+            _LIVE_SCOPES.append(self)
         return df
 
     def release(self) -> int:
