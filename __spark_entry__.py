@@ -180,6 +180,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup(docs, CFG, id_col="doc_id").clusters
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-3-gram fraction, top
+    bigram share) — zero-shuffle per-row JVM folds; the oracle computes
+    the bigram mode via a conventional groupBy."""
+    docs = _load(spark, sf_dir, "documents")
+    return TS.repetition_scores(docs)
+
+
 def q_clean_corpus(spark, sf_dir):
     """Full tier-dedup composition, value-checked end-to-end: clustering →
     canonical keeper → quality gate → boilerplate-span removal over the
@@ -749,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "semantic_dup_clusters": q_semantic_dup_clusters,
         "clean_corpus": q_clean_corpus,
+        "repetition_scores": q_repetition_scores,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1286,6 +1295,29 @@ FROM b
 LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id) r USING (doc_id)
 LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
            FROM keep GROUP BY doc_id) k USING (doc_id)
+""",
+        # Gopher-style repetition signals; the engine computes the bigram
+        # mode with a per-row sorted-array run-length fold (no shuffle),
+        # the oracle with a groupBy — same value by definition of mode
+        "repetition_scores": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, CASE WHEN len(toks) >= 3
+        THEN list_transform(range(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        ELSE toks END AS grams
+      FROM t),
+dg AS (SELECT doc_id,
+        CAST(floor(1000000.0 * (len(grams) - len(list_distinct(grams))) / len(grams)) AS BIGINT) AS dup_gram_ppm
+       FROM g),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS b
+       FROM t WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+tb AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY doc_id),
+tn AS (SELECT doc_id, len(toks) AS n FROM t)
+SELECT d.doc_id, d.dup_gram_ppm,
+       CAST(coalesce(floor(1000000.0 * tb.mc / (tn.n - 1)), 0) AS BIGINT) AS top_bigram_ppm
+FROM dg d JOIN tn USING (doc_id) LEFT JOIN tb USING (doc_id)
 """,
         # full tier-dedup composition: clusters CTE + canonical argmax +
         # ttr quality gate + span census over the SURVIVING docs only.

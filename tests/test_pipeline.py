@@ -321,3 +321,26 @@ def test_span_dedup_reconstruction_invariant(spark):
     for i, txt in enumerate(texts):
         assert out[i].n_removed == 0
         assert out[i].clean_text == txt, f"doc {i!r} not reconstructed"
+
+
+def test_repetition_scores_values_and_plan(spark):
+    from webdedup.textstats import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),     # 2 identical 3-grams, 3 identical bigrams
+            (2, "a b a b a b"),             # grams 4/2 distinct; "a b" holds 3/5 slots
+            (3, "x"),                       # short-doc fallbacks
+            (4, "all tokens here are distinct words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = repetition_scores(docs)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].dup_gram_ppm == 500_000 and rows[1].top_bigram_ppm == 1_000_000
+    assert rows[2].dup_gram_ppm == 500_000 and rows[2].top_bigram_ppm == 600_000
+    assert rows[3].dup_gram_ppm == 0 and rows[3].top_bigram_ppm == 0
+    assert rows[4].dup_gram_ppm == 0 and rows[4].top_bigram_ppm == 200_000
+    # the operator's contract: per-row JVM expressions only, NO shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -325,3 +325,69 @@ def span_dedup(
             ).alias("clean_text"),
         )
     )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals, entirely per-row JVM
+    expressions — ZERO shuffles at any corpus size:
+
+    * ``dup_gram_ppm`` — fraction (ppm) of word 3-grams that are repeats
+      of an earlier gram in the same doc (1 - distinct/total; docs under
+      3 tokens fall back to tokens, like the n-gram operators).
+    * ``top_bigram_ppm`` — share (ppm) of the doc's bigram slots taken by
+      its single most frequent bigram (0 for docs under 2 tokens). The
+      mode is computed without explode/groupBy: sort the bigram array and
+      fold it with a (prev, run, best) struct accumulator.
+    """
+    tc = F.col("_toks")
+    t = docs.select("doc_id", F.split("text", " ").alias("_toks"))
+    n = F.size("_toks")
+    grams3 = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tc, i + 1),
+                F.element_at(tc, i + 2),
+                F.element_at(tc, i + 3),
+            ),
+        ),
+    ).otherwise(tc)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tc, i + 1), F.element_at(tc, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # run-length fold over the sorted bigrams; every bigram contains a
+    # space so the "" initial prev can never match a real element
+    state = F.aggregate(
+        F.sort_array(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return t.select(
+        "doc_id",
+        F.floor(
+            F.lit(1_000_000.0)
+            * (F.size(grams3) - F.size(F.array_distinct(grams3)))
+            / F.size(grams3)
+        ).cast("long").alias("dup_gram_ppm"),
+        F.when(n >= 2, F.floor(F.lit(1_000_000.0) * state.best / (n - 1)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_bigram_ppm"),
+    )
