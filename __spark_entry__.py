@@ -180,6 +180,14 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup(docs, CFG, id_col="doc_id").clusters
 
 
+def q_token_topk_per_lang(spark, sf_dir):
+    """Per-language top-k tokens via the salted two-stage TakeOrdered
+    pattern (stage-1 rank within (lang, hash-bucket), stage-2 re-rank the
+    k·salt survivors) — no per-lang full-vocabulary sort."""
+    docs = _load(spark, sf_dir, "documents")
+    return TS.token_topk_per_lang(docs, k=10)
+
+
 def q_repetition_scores(spark, sf_dir):
     """Gopher-style repetition quality signals (dup-3-gram fraction, top
     bigram share) — zero-shuffle per-row JVM folds; the oracle computes
@@ -758,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dup_clusters": q_semantic_dup_clusters,
         "clean_corpus": q_clean_corpus,
         "repetition_scores": q_repetition_scores,
+        "token_topk_per_lang": q_token_topk_per_lang,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1295,6 +1304,19 @@ FROM b
 LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id) r USING (doc_id)
 LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
            FROM keep GROUP BY doc_id) k USING (doc_id)
+""",
+        # grouped top-k: plain per-lang row_number in SQL; the engine's
+        # salted two-stage plan must agree exactly (both orders are total)
+        "token_topk_per_lang": """
+WITH c AS (
+  SELECT lang, t AS token, count(*) AS cnt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY 1, 2),
+r AS (
+  SELECT lang, token, CAST(cnt AS BIGINT) AS cnt,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS BIGINT) AS rnk
+  FROM c)
+SELECT lang, token, cnt, rnk FROM r WHERE rnk <= 10
 """,
         # Gopher-style repetition signals; the engine computes the bigram
         # mode with a per-row sorted-array run-length fold (no shuffle),

@@ -344,3 +344,38 @@ def test_repetition_scores_values_and_plan(spark):
     # the operator's contract: per-row JVM expressions only, NO shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_topk_per_lang_matches_naive_window(spark):
+    """The salted two-stage TakeOrdered must equal a single per-lang window
+    rank on a corpus where winners spread across salt buckets."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from webdedup.textstats import token_topk_per_lang, _tokens
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 40))),
+         rng.choice(["en", "de"]))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.lang, r.rnk): (r.token, r.cnt)
+        for r in token_topk_per_lang(docs, k=7, salt=4).collect()
+    }
+    counts = (
+        docs.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token").agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    want = {
+        (r.lang, r.rnk): (r.token, r.cnt)
+        for r in counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 7).collect()
+    }
+    assert got == want and len(got) == 14

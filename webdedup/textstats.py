@@ -391,3 +391,37 @@ def repetition_scores(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("top_bigram_ppm"),
     )
+
+
+def token_topk_per_lang(docs: DataFrame, k: int = 10, salt: int = 16) -> DataFrame:
+    """Top-k corpus tokens per language, (cnt DESC, token ASC) deterministic.
+
+    A single window partitioned by lang would sort each language's ENTIRE
+    vocabulary in one task chain (billions of distinct tokens per lang at
+    production scale). Instead, the distributed TakeOrdered pattern
+    expressed manually: stage 1 ranks within (lang, hash-salt bucket) —
+    bounded partitions — keeping k per bucket, which provably contains the
+    true per-lang top-k (a global top-k token is top-k within its own
+    bucket); stage 2 re-ranks the ≤ k·salt survivors per lang, a trivially
+    small window.
+    """
+    counts = (
+        docs.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    bucket = F.pmod(F.xxhash64("token"), F.lit(salt))
+    w1 = Window.partitionBy(F.col("lang"), bucket).orderBy(
+        F.desc("cnt"), F.asc("token")
+    )
+    survivors = (
+        counts.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_r")
+    )
+    w2 = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select("lang", "token", "cnt", "rnk")
+    )
