@@ -379,3 +379,36 @@ def test_token_topk_per_lang_matches_naive_window(spark):
         .where(F.col("rnk") <= 7).collect()
     }
     assert got == want and len(got) == 14
+
+
+def test_canonical_url_variants_collapse(spark):
+    """Spelling variants of the same resource must map to one canonical
+    form; distinct resources and non-URL strings must not collapse."""
+    from webdedup.textstats import canonical_url
+
+    urls = [
+        "HTTP://Example.COM:80/a/b/",
+        "http://example.com/a/b",
+        "http://example.com/a/b#frag",
+        "http://example.com/a/b?utm_source=x&utm_campaign=y",
+        "http://example.com/a/b?gclid=123",
+        # keeps a real param, strips the tracker
+        "http://example.com/a/b?id=7&fbclid=abc",
+        "https://example.com:443/",
+        "https://example.com/",
+        # distinct resources
+        "http://example.com/a/c",
+        "http://other.com/a/b",
+        # not a URL: pass through untouched
+        "not a url at all",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = [r.c for r in df.select(canonical_url().alias("c")).collect()]
+    base = "http://example.com/a/b"
+    assert out[0] == base and out[1] == base and out[2] == base
+    assert out[3] == base and out[4] == base
+    assert out[5] == base + "?id=7"
+    assert out[6] == "https://example.com/" and out[7] == "https://example.com/"
+    assert out[8] == "http://example.com/a/c"
+    assert out[9] == "http://other.com/a/b"
+    assert out[10] == "not a url at all"

@@ -425,3 +425,53 @@ def token_topk_per_lang(docs: DataFrame, k: int = 10, salt: int = 16) -> DataFra
         .where(F.col("rnk") <= k)
         .select("lang", "token", "cnt", "rnk")
     )
+
+
+def canonical_url(col: str = "url"):
+    """Column expression canonicalizing a page URL for recrawl identity —
+    pure JVM string/regexp/higher-order functions, usable anywhere a
+    column is (e.g. as the dedup key ahead of incremental's
+    (url, snapshot) identity):
+
+    * scheme and host lowercased; default ports (:80 http, :443 https)
+      stripped; fragment dropped
+    * tracking query params removed (utm_*, fbclid, gclid); '?' dropped
+      when the query empties
+    * trailing slash trimmed from non-root paths
+
+    URLs that do not look like scheme://host... pass through unchanged.
+    """
+    u = F.col(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, r":443$", ""))
+        .otherwise(host)
+    )
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^#]*)", 1)
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(F.length(path) > 1, F.regexp_replace(path, r"/$", "")).otherwise(
+        path
+    )
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(
+            p.startswith("utm_") | p.startswith("fbclid=") | p.startswith("gclid=")
+        )
+        & (p != ""),
+    )
+    clean_query = F.array_join(kept, "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(clean_query != "", F.concat(F.lit("?"), clean_query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme != "", rebuilt).otherwise(u)
