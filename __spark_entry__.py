@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
-from webdedup import ann, textstats as TS
+from webdedup import ann, scrub as SCRUB, textstats as TS
 from webdedup.config import DedupConfig
 from webdedup.pipeline import dedup
 
@@ -221,6 +221,44 @@ def q_canonical_docs(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     clusters = dedup(docs, CFG, id_col="doc_id").clusters
     return select_canonical(clusters, TS.quality_scores(docs))
+
+
+def q_decontaminate(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: every 7th doc plays the eval
+    set; the rest of the corpus is flagged on any shared word 5-gram. The
+    benchmark gram set is broadcast, so corpus grams never shuffle for the
+    membership test (webdedup/scrub.py docstring has the 100-TB shape)."""
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    out = SCRUB.decontaminate(corpus, bench, n=5)
+    return out.withColumn("is_contaminated", F.col("is_contaminated").cast("long"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII count+redact over deterministically injected emails/IPs/phones
+    (the synthetic corpus carries none, so the query plants them: every
+    3rd doc gets all three kinds, 3k+1 docs get an email only, 3k+2 docs
+    stay clean — zero-count rows are part of the checked surface)."""
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com from 10."),
+        (did % 256).cast("string"), F.lit(".0.1 call 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    mail_only = F.concat(
+        F.col("text"), F.lit(" mail user"), did.cast("string"), F.lit("@test.org")
+    )
+    injected = docs.select(
+        "doc_id",
+        F.when(did % 3 == 0, full)
+        .when(did % 3 == 1, mail_only)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return SCRUB.pii_redact(injected)
 
 
 def q_near_dup_pairs(spark, sf_dir):
@@ -767,6 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "repetition_scores": q_repetition_scores,
         "token_topk_per_lang": q_token_topk_per_lang,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1304,6 +1344,47 @@ FROM b
 LEFT JOIN (SELECT doc_id, count(*) AS n_removed FROM rm GROUP BY doc_id) r USING (doc_id)
 LEFT JOIN (SELECT doc_id, string_agg(block, ' ' ORDER BY pos) AS clean_text
            FROM keep GROUP BY doc_id) k USING (doc_id)
+""",
+        # decontamination: the oracle censuses gram STRINGS where the
+        # engine broadcast-joins xxhash64 keys — same span_dedup trade
+        "decontaminate": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id, list_transform(range(1, len(toks) - 3),
+         i -> array_to_string(list_slice(toks, i, i + 4), ' ')) AS grams
+      FROM t),
+bench AS (SELECT DISTINCT gram FROM (
+         SELECT unnest(grams) AS gram FROM g WHERE doc_id % 7 = 0)),
+corpus AS (SELECT * FROM g WHERE doc_id % 7 <> 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM (
+         SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+         WHERE gram IN (SELECT gram FROM bench) GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(len(c.grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+""",
+        # PII: identical injection + identical regexes (common
+        # java.util.regex / RE2 subset), counts before replacement,
+        # replacement order email -> ip -> phone in both engines
+        "pii_redact": r"""
+WITH inj AS (SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN
+         text || ' contact user' || doc_id || '@example.com from 10.'
+              || (doc_id % 256) || '.0.1 call 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       WHEN doc_id % 3 = 1 THEN text || ' mail user' || doc_id || '@test.org'
+       ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+FROM inj
 """,
         # grouped top-k: plain per-lang row_number in SQL; the engine's
         # salted two-stage plan must agree exactly (both orders are total)

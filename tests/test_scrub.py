@@ -1,0 +1,97 @@
+"""Unit tests for the data-hygiene operators (decontaminate / pii_redact).
+
+Oracle parity at sf0.01 runs in test_oracle_parity.py; here we pin the
+edge-case semantics and the physical plans (broadcast membership join,
+shuffle-free redaction).
+"""
+
+from webdedup import scrub
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_shared_grams(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),          # shares "b c d" with the benchmark
+            (2, "x y z w v u"),          # clean
+            (3, "b c d b c d b c d"),    # the shared gram occurs 3x sliding? see below
+        ],
+    )
+    bench = _docs(spark, [(100, "q b c d r")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in scrub.decontaminate(corpus, bench, n=3).collect()
+    }
+    assert out[1]["n_hits"] == 1 and out[1]["is_contaminated"]
+    assert out[2]["n_hits"] == 0 and not out[2]["is_contaminated"]
+    # doc 3 tokens: b c d b c d b c d -> sliding 3-grams at positions 1,4,7
+    # equal "b c d"; positions 2,5 are "c d b", 3,6 are "d b c" (no match).
+    # Occurrences count each time: 3 hits.
+    assert out[3]["n_hits"] == 3
+    assert out[1]["n_grams"] == 4 and out[3]["n_grams"] == 7
+
+
+def test_decontaminate_short_docs_have_zero_grams(spark):
+    corpus = _docs(spark, [(1, "a b"), (2, "")])
+    bench = _docs(spark, [(9, "a b c")])
+    rows = {r["doc_id"]: r for r in scrub.decontaminate(corpus, bench, n=3).collect()}
+    assert rows[1]["n_grams"] == 0 and rows[1]["n_hits"] == 0
+    assert rows[2]["n_grams"] == 0 and not rows[2]["is_contaminated"]
+
+
+def test_decontaminate_membership_join_is_broadcast(spark):
+    corpus = _docs(spark, [(1, "a b c d")])
+    bench = _docs(spark, [(2, "a b c")])
+    plan = scrub.decontaminate(corpus, bench, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pii_redact_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail bob@example.com or alice@test.org now"),
+            (2, "host 10.1.2.3 and 192.168.0.1 dial 555-0042"),
+            (3, "clean text with no pii at all"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in scrub.pii_redact(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 0
+    assert out[1]["clean_text"] == "mail <EMAIL> or <EMAIL> now"
+    assert out[2]["n_ips"] == 2 and out[2]["n_phones"] == 1
+    assert out[2]["clean_text"] == "host <IP> and <IP> dial <PHONE>"
+    assert out[3] == {
+        "doc_id": 3,
+        "n_emails": 0,
+        "n_ips": 0,
+        "n_phones": 0,
+        "clean_text": "clean text with no pii at all",
+    }
+
+
+def test_pii_redact_ordering_on_overlapping_matches(spark):
+    # "user@1.2.3.4" is NOT an email (the domain has no alphabetic TLD),
+    # so the IP pass redacts the numeric part; "bob@mail.example.com from
+    # 10.0.0.1" exercises both passes on one row, email first.
+    docs = _docs(
+        spark,
+        [
+            (1, "ping user@1.2.3.4 end"),
+            (2, "bob@mail.example.com from 10.0.0.1"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in scrub.pii_redact(docs).collect()}
+    assert out[1]["n_emails"] == 0 and out[1]["n_ips"] == 1
+    assert out[1]["clean_text"] == "ping user@<IP> end"
+    assert out[2]["n_emails"] == 1 and out[2]["n_ips"] == 1
+    assert out[2]["clean_text"] == "<EMAIL> from <IP>"
+
+
+def test_pii_redact_plan_has_no_exchange(spark):
+    docs = _docs(spark, [(1, "a"), (2, "b")])
+    plan = scrub.pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

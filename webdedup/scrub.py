@@ -1,0 +1,135 @@
+"""Data-hygiene operators for training-data pipelines: benchmark
+decontamination (GPT-3-appendix-C style n-gram overlap) and PII redaction.
+
+Both are pure-JVM (higher-order functions + regex) — no Python crosses the
+hot path, and the only shuffle in `decontaminate` carries ~1 row per
+contaminated doc (map-side partial agg collapses the exploded grams of a
+doc inside its own task before the exchange).
+
+Reference context: the reference engine has no decontamination surface;
+these are the training-data extras mandated by the build brief (SURVEY.md
+§2.7 / COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sliding_gram_hashes(n: int):
+    """64-bit hashes of the sliding word n-grams of the ``_toks`` column.
+
+    xxhash64 of the joined gram string — same engine-side key choice as
+    textstats.span_dedup (collision odds ~1e-12 at 1e7 distinct grams;
+    free to the correctness contract because the DuckDB oracle censuses
+    the gram STRINGS). The token array is materialized as its own
+    projection by the caller — an inline split() referenced from a
+    transform() lambda re-evaluates per element (codegen CSE does not
+    reach lambda bodies; measured 5.8x in span_dedup). The when() guard
+    matters: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not an
+    empty list, so short docs must short-circuit to array().
+    """
+    toks = F.col("_toks")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs sharing any word ``n``-gram with an eval set.
+
+    GPT-3-style decontamination: an n-gram seen anywhere in ``benchmark``
+    taints every training doc containing it. Returns one row per doc:
+    (doc_id, n_grams, n_hits, is_contaminated) where ``n_hits`` counts
+    gram OCCURRENCES (duplicated grams in a doc count each time) and docs
+    shorter than ``n`` tokens have n_grams = 0.
+
+    100-TB shape: the benchmark side is an eval suite (thousands of docs,
+    ~1e5-1e6 distinct grams) — it is hashed, deduplicated, and BROADCAST,
+    so the corpus grams never shuffle for the membership test; the
+    left-semi join runs map-side inside the scan task. The follow-up
+    groupBy(doc_id) sees all grams of a doc in the task that exploded
+    them, so partial aggregation collapses to <= 1 row per contaminated
+    doc before the exchange; the final join-back is narrow (3 longs/doc).
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).select("doc_id", _sliding_gram_hashes(n).alias("_ghs"))
+
+    bench = (
+        benchmark.select(
+            F.split(F.col(text_col), " ").alias("_toks")
+        )
+        .select(F.explode(_sliding_gram_hashes(n)).alias("gh"))
+        .distinct()
+    )
+
+    hits = (
+        d.select("doc_id", F.explode("_ghs").alias("gh"))
+        .join(F.broadcast(bench), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+    return (
+        d.select("doc_id", F.size("_ghs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+# Common Java-regex/RE2 subset so the engine (Spark, java.util.regex) and
+# the oracle (DuckDB, RE2) match byte-for-byte on the same patterns.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+_PII_ORDER = (
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("ip", IPV4_RE, "<IP>"),
+    ("phone", PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Count and redact emails / IPv4s / phone-like tokens.
+
+    Returns (doc_id, n_emails, n_ips, n_phones, clean_text). Redaction
+    order is fixed (email -> ip -> phone) so an IP-shaped substring inside
+    an email domain is consumed by the email pass first; counts are taken
+    BEFORE any replacement, each against the original text.
+
+    100-TB shape: row-local regexes inside whole-stage codegen — zero
+    shuffles, zero Python; the patterns are restricted to the common
+    java.util.regex / RE2 subset so the DuckDB oracle runs the exact same
+    expressions.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}s")
+        for name, pat, _ in _PII_ORDER
+    ]
+    clean = t
+    for _, pat, token in _PII_ORDER:
+        clean = F.regexp_replace(clean, pat, token)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *counts, clean.alias("clean_text")
+    )
