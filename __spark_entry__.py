@@ -261,6 +261,33 @@ def q_pii_redact(spark, sf_dir):
     return SCRUB.pii_redact(injected)
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """`textstats.canonical_url` over deterministically injected messy URLs
+    (the driver's documents table has no url column, so the query plants 8
+    cycling variants per doc_id: default-port + tracking params, mixed-case
+    host + fragment, fbclid-only query, trailing slash, a non-URL
+    passthrough, a non-http scheme whose port must survive, a root path
+    whose slash must survive, and a non-default port that must survive).
+    The oracle re-implements the SAME generic canonicalization in DuckDB —
+    it does not exploit the injection pattern."""
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    d = did.cast("string")
+    variants = (
+        F.when(did % 8 == 0, F.concat(F.lit("HTTP://Example.COM:80/Path/To/Page/?utm_source=x&id="), d))
+        .when(did % 8 == 1, F.concat(F.lit("https://WWW.Site"), (did % 50).cast("string"), F.lit(".org:443/article/"), d, F.lit("#frag")))
+        .when(did % 8 == 2, F.concat(F.lit("http://example.com/a/"), d, F.lit("?fbclid=abc"), d))
+        .when(did % 8 == 3, F.concat(F.lit("https://blog.example.net/post/"), d, F.lit("/")))
+        .when(did % 8 == 4, F.concat(F.lit("not a url "), d))
+        .when(did % 8 == 5, F.concat(F.lit("ftp://Files.example.com:21/data/"), d))
+        .when(did % 8 == 6, F.concat(F.lit("https://shop.example.com/?utm_campaign=c&gclid=g&item="), d, F.lit("&utm_medium=m")))
+        .otherwise(F.concat(F.lit("HTTPS://example.com:8443/x/"), d, F.lit("?a=1&utm_x=2")))
+    )
+    return docs.select("doc_id", variants.alias("url")).select(
+        "doc_id", "url", TS.canonical_url("url").alias("canonical")
+    )
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Pipeline's verified near-dup pairs (a, b, jaccard_ppm) at J >= 0.8.
 
@@ -807,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk_per_lang": q_token_topk_per_lang,
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
+        "url_canonicalize": q_url_canonicalize,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1385,6 +1413,46 @@ SELECT doc_id,
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
       '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
 FROM inj
+""",
+        # URL canonicalization: the oracle re-implements the generic rule
+        # (lowercase scheme/host, default-port strip, fragment drop,
+        # tracking-param filter, trailing-slash trim, passthrough on
+        # non-URLs) — it does NOT pattern-match the injected variants
+        "url_canonicalize": r"""
+WITH inj AS (SELECT doc_id,
+  CASE doc_id % 8
+    WHEN 0 THEN 'HTTP://Example.COM:80/Path/To/Page/?utm_source=x&id=' || doc_id
+    WHEN 1 THEN 'https://WWW.Site' || (doc_id % 50) || '.org:443/article/' || doc_id || '#frag'
+    WHEN 2 THEN 'http://example.com/a/' || doc_id || '?fbclid=abc' || doc_id
+    WHEN 3 THEN 'https://blog.example.net/post/' || doc_id || '/'
+    WHEN 4 THEN 'not a url ' || doc_id
+    WHEN 5 THEN 'ftp://Files.example.com:21/data/' || doc_id
+    WHEN 6 THEN 'https://shop.example.com/?utm_campaign=c&gclid=g&item=' || doc_id || '&utm_medium=m'
+    ELSE 'HTTPS://example.com:8443/x/' || doc_id || '?a=1&utm_x=2'
+  END AS url FROM documents),
+p AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)', 1)) AS host0,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]+([^#]*)', 1) AS rest
+  FROM inj),
+q AS (SELECT doc_id, url, scheme, rest,
+  CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+       WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+       ELSE host0 END AS host,
+  regexp_extract(rest, '^([^?]*)', 1) AS path0,
+  regexp_extract(rest, '^[^?]*\?(.*)$', 1) AS query
+  FROM p),
+r AS (SELECT doc_id, url, scheme, host,
+  CASE WHEN len(path0) > 1 THEN regexp_replace(path0, '/$', '') ELSE path0 END AS path,
+  array_to_string(list_filter(string_split(query, '&'),
+    x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid=')
+              OR starts_with(x, 'gclid=')) AND x <> ''), '&') AS clean_query
+  FROM q)
+SELECT doc_id, url,
+  CASE WHEN scheme <> '' THEN scheme || '://' || host || path
+            || CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END
+       ELSE url END AS canonical
+FROM r
 """,
         # grouped top-k: plain per-lang row_number in SQL; the engine's
         # salted two-stage plan must agree exactly (both orders are total)
