@@ -288,6 +288,14 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Training-budget accounting per doc: whitespace tokens, GPT-2-style
+    BPE pretokens (lookahead-free regex matched token-for-token by Java
+    regex and RE2 — probed on contractions, Unicode letters/digits,
+    repeated whitespace), chars, bytes. Zero shuffles."""
+    return TS.token_counts(_load(spark, sf_dir, "documents"))
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Pipeline's verified near-dup pairs (a, b, jaccard_ppm) at J >= 0.8.
 
@@ -835,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
+        "token_counts": q_token_counts,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1453,6 +1462,18 @@ SELECT doc_id, url,
             || CASE WHEN clean_query <> '' THEN '?' || clean_query ELSE '' END
        ELSE url END AS canonical
 FROM r
+""",
+        # token accounting: same regexes in RE2 (probed token-for-token
+        # vs java.util.regex); length()=chars, strlen()=bytes in DuckDB
+        "token_counts": r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+    AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
 """,
         # grouped top-k: plain per-lang row_number in SQL; the engine's
         # salted two-stage plan must agree exactly (both orders are total)

@@ -475,3 +475,39 @@ def canonical_url(col: str = "url"):
         ),
     )
     return F.when(scheme != "", rebuilt).otherwise(u)
+
+
+# GPT-2-flavor pretokenizer, restricted to the lookahead-free subset that
+# java.util.regex (Spark codegen) and RE2 (the DuckDB oracle) match
+# token-for-token: contraction suffixes, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs, whitespace
+# runs. \p{L}/\p{N} are Unicode categories in both engines.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc training-budget accounting: whitespace tokens, BPE-ish
+    pretokens, chars, bytes — (doc_id, n_ws_tokens, n_bpe_tokens,
+    n_chars, n_bytes).
+
+    ``n_bpe_tokens`` counts ``BPE_PRETOKEN_RE`` matches — the pretokenizer
+    pass of a GPT-2-style BPE, which upper-bounds and closely tracks the
+    real BPE token count (merges only ever fuse within a pretoken).
+    Whitespace tokens are maximal ``\\S+`` runs (robust to repeated /
+    leading / trailing whitespace, unlike a bare split-on-space).
+
+    100-TB shape: four codegen regex/length expressions per row, zero
+    shuffles, no Python — the scan's narrow projection (doc_id, text) is
+    the whole plan.
+    """
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
