@@ -96,3 +96,48 @@ def test_simhash_self_distance_zero(xs):
     t = np.array(xs, dtype=np.uint32)
     fps = K.simhash64([t, t])
     assert int(K.hamming64(fps[0:1], fps[1:2])[0]) == 0
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=100))
+@settings(max_examples=40, deadline=None)
+def test_simhash_is_order_invariant(xs):
+    """Bit votes are sums over tokens — token order must not matter."""
+    t = np.array(xs, dtype=np.uint32)
+    rng = np.random.RandomState(1)
+    fps = K.simhash64([t, t[rng.permutation(t.size)]])
+    assert fps[0] == fps[1]
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=500),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_winnow_covers_every_window(xs, w):
+    """Winnowing's coverage guarantee: every sliding window of ``w``
+    k-gram hashes contains at least one SELECTED hash (this is what makes
+    any shared run >= window+k-1 bytes detectable)."""
+    h = np.array(xs, dtype=np.uint32)
+    sel = set(K.winnow(h, w).tolist())
+    n = h.size
+    for s in range(max(1, n - w + 1)):
+        assert any(int(v) in sel for v in h[s : s + w])
+
+
+@given(
+    st.binary(min_size=0, max_size=400),
+    st.binary(min_size=20, max_size=60),
+    st.binary(min_size=0, max_size=400),
+)
+@settings(max_examples=40, deadline=None)
+def test_rolling_hash_substring_invariance(pre, shared, post):
+    """Identical k-byte windows hash identically wherever they appear."""
+    k = 20
+    a, b = pre + shared, shared + post
+    ha, hb = K.rolling_hash(a, k), K.rolling_hash(b, k)
+    # the shared block's first window appears in both docs
+    ia = len(pre)
+    assert ha[ia] == hb[0]
+    # and every window fully inside the shared block matches
+    m = len(shared) - k + 1
+    assert np.array_equal(ha[ia : ia + m], hb[:m])
