@@ -296,6 +296,47 @@ def q_token_counts(spark, sf_dir):
     return TS.token_counts(_load(spark, sf_dir, "documents"))
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video decode + frame sampling, value-checked end-to-end: each
+    doc becomes an uncompressed-DIB AVI of 2 + doc_id % 4 frames at 6x5,
+    pixel (f, y, x, c) = (doc_id*31 + f*7 + y*5 + x*3 + c*11) % 256,
+    serialized through the genuine nested-RIFF writer (bottom-up BGR rows
+    padded to 4 bytes — w=6 forces real padding), decoded back by the
+    chunk-walking parser (multimodal.decode_avi_rgb, strict), and sampled
+    every 200 ms at 10 fps (= frames 0, 2, 4). The DuckDB oracle computes
+    each sampled frame's per-channel histograms directly from the pixel
+    formula: any header/padding/BGR/bottom-up/sampling bug shifts counts
+    and breaks the hash."""
+    import numpy as np
+    from pyspark.sql.types import BinaryType
+
+    from webdedup.multimodal import encode_avi_rgb, sample_frames_decoded
+
+    @pandas_udf(BinaryType())
+    def to_avi(doc_ids: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_ids:
+            d = int(d)
+            n = 2 + d % 4
+            f, y, x, c = np.indices((n, 5, 6, 3), dtype=np.int64)
+            px = ((d * 31 + f * 7 + y * 5 + x * 3 + c * 11) % 256).astype(np.uint8)
+            out.append(encode_avi_rgb(px, fps=10))
+        return pd.Series(out)
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), to_avi("doc_id").alias("payload")
+    )
+    sampled = sample_frames_decoded(media, every_ms=200, bins=8, strict=True)
+    cols = [
+        F.element_at("features", i + 1).cast("long").alias(f"h{i:02d}")
+        for i in range(24)
+    ]
+    return sampled.select(
+        "media_id", "frame_idx", "frame_ts_ms", "width", "height", *cols
+    )
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Pipeline's verified near-dup pairs (a, b, jaccard_ppm) at J >= 0.8.
 
@@ -844,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
         "token_counts": q_token_counts,
+        "video_frames": q_video_frames,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1474,6 +1516,28 @@ SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(strlen(text) AS BIGINT) AS n_bytes
 FROM documents
+""",
+        # video frame sampling: the oracle recomputes each sampled frame's
+        # per-channel histograms from the analytic pixel formula — the
+        # engine side must survive encode -> nested-RIFF walk -> DIB
+        # (bottom-up, BGR, padded rows) -> sample every 2nd frame
+        "video_frames": """
+WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+f AS (SELECT doc_id, unnest(range(0, n_frames, 2)) AS frame_idx FROM d),
+px AS (SELECT doc_id, frame_idx,
+         ((doc_id*31 + frame_idx*7 + y.range*5 + x.range*3 + c.range*11) % 256) // 32 AS bucket,
+         c.range AS ch
+       FROM f, range(0, 5) y, range(0, 6) x, range(0, 3) c)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS frame_ts_ms,
+       CAST(6 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+""" + ",\n".join(
+            f"       CAST(count(*) FILTER (ch = {i // 8} AND bucket = {i % 8}) AS BIGINT) AS h{i:02d}"
+            for i in range(24)
+        ) + """
+FROM px GROUP BY doc_id, frame_idx
 """,
         # grouped top-k: plain per-lang row_number in SQL; the engine's
         # salted two-stage plan must agree exactly (both orders are total)

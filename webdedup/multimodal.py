@@ -4,15 +4,18 @@ Images/audio/video ride as opaque ``binary`` columns with a metadata struct;
 decode/feature-extraction run as Arrow-batched ``mapInPandas`` kernels so
 payload bytes never round-trip through per-row Python.
 
-Codecs: WAV-PCM has a REAL pure-numpy container parser (``decode_wav_pcm``:
-RIFF chunk walk, fmt validation, little-endian int16 samples) plus the
-matching writer (``encode_wav_pcm``), exercised end-to-end by the
-``wav_features`` driver oracle over actually-decoded bytes. Image/video
-decode stays STUBBED (no codec libraries in this container): ``decoder=None``
-uses a deterministic fake (byte-stat features) so the Spark-side plumbing —
-schema, batch shape, partition sizing — is real and tested; plugging a real
-codec is a one-function swap (``strict=True`` makes undecodable payloads
-raise instead of degrading to zero features).
+Codecs — three REAL pure-numpy container parsers, each with its matching
+writer and a driver value oracle over actually-decoded bytes:
+``decode_wav_pcm`` (RIFF chunk walk, fmt validation, little-endian int16),
+``decode_ppm`` (P6 header tokenizer with comments), and ``decode_avi_rgb``
+(nested-RIFF walker; uncompressed-DIB frames: bottom-up BGR rows padded to
+4 bytes; real frame sampling via ``sample_frames_decoded``). COMPRESSED
+formats (JPEG, MP3, H.264, ...) are explicitly rejected — no codec
+libraries exist in this container; plugging one in is a one-function swap.
+``decoder=None`` in ``extract_features`` uses a deterministic fake
+(byte-stat features) so schema/batching plumbing is testable without any
+codec (``strict=True`` makes undecodable payloads raise instead of
+degrading to zero features).
 """
 
 from __future__ import annotations
@@ -310,3 +313,216 @@ def ppm_channel_histogram(payload: bytes, bins: int = 8):
         idx = px[:, :, c].astype(np.int64).ravel() // width
         out.extend(np.bincount(idx, minlength=bins).astype(np.int64))
     return np.array(out, dtype=np.int64)
+
+
+# ---------------- AVI (uncompressed DIB): real pure-numpy video codec ----------------
+
+
+def encode_avi_rgb(frames, fps: int = 10) -> bytes:
+    """Serialize (n, h, w, 3) uint8 RGB frames into a genuine AVI container
+    with uncompressed DIB video ('DIB ' handler, BI_RGB 24-bit).
+
+    Produces the full nested-RIFF structure — LIST hdrl { avih, LIST strl
+    { strh, strf } } then LIST movi { '00db' per frame } — with each frame
+    stored the way DIBs actually are: bottom-up rows, BGR byte order, rows
+    padded to 4-byte boundaries. Round-trips through the decoder below
+    prove nested-LIST walking + row-padding handling, not a fixed layout.
+    """
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(frames, dtype=np.uint8)
+    if px.ndim != 4 or px.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) RGB frames, got {px.shape}")
+    n, h, w, _ = px.shape
+    row_size = (w * 3 + 3) // 4 * 4
+    frame_size = row_size * h
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) % 2 else b""
+        )
+
+    def list_chunk(formtype: bytes, children: bytes) -> bytes:
+        return chunk(b"LIST", formtype + children)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1,
+        frame_size, w, h,
+    ) + b"\x00" * 16
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi_children = b""
+    pad = np.zeros((h, row_size - w * 3), dtype=np.uint8)
+    for i in range(n):
+        # bottom-up rows, BGR channel order, 4-byte-aligned rows
+        dib = np.concatenate([px[i, ::-1, :, ::-1].reshape(h, w * 3), pad], axis=1)
+        movi_children += chunk(b"00db", dib.tobytes())
+    body = b"AVI " + hdrl + list_chunk(b"movi", movi_children)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_rgb(payload: bytes):
+    """Parse an uncompressed-DIB AVI → ((n, h, w, 3) uint8 RGB array,
+    micros_per_frame) — pure numpy, a real nested-RIFF walker.
+
+    Validates RIFF/'AVI ' magic, walks top-level chunks, recurses into
+    LIST hdrl for avih (dims, frame count, frame period) and LIST strl for
+    strh ('vids' + 'DIB '/raw handler) and strf (BITMAPINFOHEADER,
+    24-bit BI_RGB only), then collects '00db'/'00dc' bodies from LIST
+    movi and undoes the DIB layout (bottom-up rows, BGR, padded rows).
+    Raises ValueError on anything malformed — ``extract_features(
+    strict=True)`` propagates, strict=False degrades to zero features.
+    Compressed video (any non-zero biCompression) is explicitly rejected:
+    no codec libraries exist in this environment.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF file: too short")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if len(body) < size:
+                raise ValueError(f"truncated chunk {cid!r}")
+            yield cid, body
+            pos += 8 + size + (size % 2)
+
+    avih = None
+    strh = None
+    strf = None
+    frames_raw: list[bytes] = []
+    end = min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    for cid, body in walk(payload[12:end]):
+        if cid != b"LIST":
+            continue
+        formtype, inner = body[:4], body[4:]
+        if formtype == b"hdrl":
+            for cid2, body2 in walk(inner):
+                if cid2 == b"avih":
+                    if len(body2) < 40:
+                        raise ValueError("malformed avih")
+                    avih = struct.unpack("<10I", body2[:40])
+                elif cid2 == b"LIST" and body2[:4] == b"strl":
+                    for cid3, body3 in walk(body2[4:]):
+                        if cid3 == b"strh":
+                            strh = body3
+                        elif cid3 == b"strf":
+                            strf = body3
+        elif formtype == b"movi":
+            for cid2, body2 in walk(inner):
+                if cid2[2:4] in (b"db", b"dc"):
+                    frames_raw.append(body2)
+    if avih is None or strh is None or strf is None:
+        raise ValueError("missing avih/strh/strf header")
+    if strh[0:4] != b"vids":
+        raise ValueError(f"first stream is not video: {strh[0:4]!r}")
+    if len(strf) < 40:
+        raise ValueError("malformed strf")
+    _, w, h, _, bits, compression = struct.unpack("<IiiHHI", strf[:20])
+    if bits != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported video: bits={bits} compression={compression} "
+            "(only uncompressed 24-bit DIB; no codec libraries in this environment)"
+        )
+    us_per_frame, n_frames = avih[0], avih[4]
+    if len(frames_raw) != n_frames:
+        raise ValueError(f"frame count mismatch: movi {len(frames_raw)} vs avih {n_frames}")
+    row_size = (w * 3 + 3) // 4 * 4
+    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) != row_size * h:
+            raise ValueError(f"frame {i}: size {len(raw)} != {row_size * h}")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_size)[:, : w * 3]
+        out[i] = rows.reshape(h, w, 3)[::-1, :, ::-1]
+    return out, us_per_frame
+
+
+def sample_frames_decoded(
+    video: DataFrame, every_ms: int = 1000, bins: int = 8, strict: bool = False
+) -> DataFrame:
+    """REAL frame sampling: decode each AVI payload once, emit one row per
+    sampled frame — (media_id, frame_idx, frame_ts_ms, width, height,
+    features) with ``features`` the per-channel pixel histograms of the
+    sampled frame (integer-exact → hash-stable vs a SQL oracle).
+
+    Sampling contract: frame index (k * every_ms * 1000) // us_per_frame
+    for k = 0, 1, ... while the index is in range, deduplicated — i.e. the
+    frame on screen at each every_ms tick. The payload crosses Arrow ONCE
+    per media row and is dropped before the output rows (only histograms
+    shuffle onward); at 100 TB size scan partitions so each task holds
+    O(100 MB) of payload (spark.sql.files.maxPartitionBytes), same as
+    extract_features.
+    """
+    import numpy as np
+
+    width = 256 // bins
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "width": [], "height": [], "features": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, uspf = decode_avi_rgb(p)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                n, h, w, _ = frames.shape
+                seen = set()
+                k = 0
+                while True:
+                    idx = (k * every_ms * 1000) // uspf
+                    if idx >= n:
+                        break
+                    if idx not in seen:
+                        seen.add(idx)
+                        feats = []
+                        for c in range(3):
+                            buckets = frames[idx, :, :, c].astype(np.int64).ravel() // width
+                            feats.extend(np.bincount(buckets, minlength=bins)[:bins].tolist())
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(idx)
+                        rows["frame_ts_ms"].append(k * every_ms)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        rows["features"].append(feats)
+                    k += 1
+            if rows["media_id"]:
+                # an all-failed lenient batch must yield NOTHING: an empty
+                # pandas frame infers float64 columns, which Arrow cannot
+                # cast to the list<long> features field
+                yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("frame_idx", LongType(), False),
+            StructField("frame_ts_ms", LongType(), False),
+            StructField("width", LongType(), False),
+            StructField("height", LongType(), False),
+            StructField("features", ArrayType(LongType()), False),
+        ]
+    )
+    return video.select("media_id", "payload").mapInPandas(run, schema)
