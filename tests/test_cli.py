@@ -1,0 +1,77 @@
+"""CLI operator modes (--op): each mode reads parquet, writes parquet,
+prints one JSON line. Runs in-process against the shared session fixture
+(webdedup.session.get_spark reuses the active session)."""
+
+import json
+
+import pytest
+
+from webdedup.cli import main
+
+
+@pytest.fixture()
+def docs_parquet(spark, tmp_path):
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog again and again"),
+            (1, "reach me at alice@example.com or 555-1234 thanks"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+        ],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run(capsys, argv):
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_token_counts(spark, tmp_path, capsys, docs_parquet):
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, ["--op", "token-counts", "--input", docs_parquet, "--output", out_path])
+    assert out["mode"] == "token-counts" and out["rows"] == 3
+    got = {r.doc_id: r.n_ws_tokens for r in spark.read.parquet(out_path).collect()}
+    assert got[0] == 12
+
+
+def test_cli_pii(spark, tmp_path, capsys, docs_parquet):
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, ["--op", "pii", "--input", docs_parquet, "--output", out_path])
+    assert out["rows"] == 3
+    rows = {r.doc_id: r for r in spark.read.parquet(out_path).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_phones == 1
+    assert "<EMAIL>" in rows[1].clean_text
+
+
+def test_cli_decontaminate_requires_benchmark(docs_parquet, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["--op", "decontaminate", "--input", docs_parquet,
+              "--output", str(tmp_path / "out")])
+
+
+def test_cli_decontaminate(spark, tmp_path, capsys, docs_parquet):
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, [
+        "--op", "decontaminate", "--input", docs_parquet,
+        "--benchmark", docs_parquet, "--ngram", "5", "--output", out_path,
+    ])
+    # benchmark == corpus: every doc with >= 5 tokens is contaminated
+    assert out["rows"] == 3
+    assert all(r.is_contaminated for r in spark.read.parquet(out_path).collect())
+
+
+def test_cli_id_and_text_col_mapping(spark, tmp_path, capsys):
+    path = str(tmp_path / "renamed.parquet")
+    spark.createDataFrame(
+        [(10, "hello world three tokens")], "page_id long, body string"
+    ).write.mode("overwrite").parquet(path)
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, [
+        "--op", "token-counts", "--input", path, "--output", out_path,
+        "--id-col", "page_id", "--text-col", "body",
+    ])
+    assert out["rows"] == 1
+    row = spark.read.parquet(out_path).collect()[0]
+    assert row.doc_id == 10 and row.n_ws_tokens == 4

@@ -18,6 +18,14 @@ Incremental (catalog root with manifest.json snapshots)::
     python -m webdedup.cli --catalog /data/warehouse --table pages \\
         --work /data/dedup_work
 
+Single-operator modes (read parquet -> transform -> write parquet)::
+
+    python -m webdedup.cli --op token-counts --input docs.parquet --output out
+    python -m webdedup.cli --op pii          --input docs.parquet --output out
+    python -m webdedup.cli --op decontaminate --input docs.parquet \\
+        --benchmark eval.parquet --ngram 8 --output out
+    python -m webdedup.cli --op clean        --input docs.parquet --output out
+
 Packaging for a cluster: ``zip -r webdedup.zip webdedup`` then pass
 ``--py-files webdedup.zip``; all code is pure Python + numpy (shipped on
 executors via the UDF pickles), no native builds.
@@ -65,6 +73,16 @@ def main(argv=None) -> int:
     ap.add_argument("--no-simhash", action="store_true")
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--cores", default=None, help="local[N] cores (default: existing session / all)")
+    ap.add_argument(
+        "--op",
+        default="dedup",
+        choices=["dedup", "clean", "pii", "decontaminate", "token-counts",
+                 "quality", "span-dedup"],
+        help="operator to run over --input (all except dedup/clean need a "
+        "doc_id column, or name yours with --id-col)",
+    )
+    ap.add_argument("--benchmark", help="eval-set parquet (decontaminate op)")
+    ap.add_argument("--ngram", type=int, default=8, help="n-gram size (decontaminate op)")
     args = ap.parse_args(argv)
 
     from webdedup.session import get_spark
@@ -74,7 +92,40 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
 
-    if args.catalog:
+    if args.op not in ("dedup", "clean") and not args.catalog:
+        # single-output column ops: read -> transform -> write + row count
+        if not (args.input and args.output):
+            ap.error("--input and --output required")
+        from webdedup import scrub, textstats
+
+        docs = spark.read.parquet(args.input)
+        if args.id_col and args.id_col != "doc_id":
+            docs = docs.withColumnRenamed(args.id_col, "doc_id")
+        if args.text_col != "text":
+            docs = docs.withColumnRenamed(args.text_col, "text")
+        if args.op == "pii":
+            res_df = scrub.pii_redact(docs)
+        elif args.op == "decontaminate":
+            if not args.benchmark:
+                ap.error("--benchmark required with --op decontaminate")
+            bench = spark.read.parquet(args.benchmark)
+            if args.text_col != "text":
+                bench = bench.withColumnRenamed(args.text_col, "text")
+            res_df = scrub.decontaminate(docs, bench, n=args.ngram)
+        elif args.op == "token-counts":
+            res_df = textstats.token_counts(docs)
+        elif args.op == "quality":
+            res_df = textstats.quality_scores(docs)
+        else:  # span-dedup
+            res_df = textstats.span_dedup(docs)
+        res_df.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()  # footer-cheap
+        out = {
+            "mode": args.op,
+            "rows": n,
+            "sec": round(time.perf_counter() - t0, 3),
+        }
+    elif args.catalog:
         if not args.work:
             ap.error("--work required with --catalog")
         from webdedup.catalog import Catalog
@@ -92,9 +143,19 @@ def main(argv=None) -> int:
         if not (args.input and args.output):
             ap.error("--input and --output required in batch mode")
         from webdedup.metrics import partition_lineage
-        from webdedup.pipeline import collect_counters, dedup
+        from webdedup.pipeline import clean_corpus, collect_counters, dedup
 
         pages = spark.read.parquet(args.input)
+        if args.op == "clean":
+            cleaned = clean_corpus(pages, cfg, text_col=args.text_col)
+            cleaned.write.mode("overwrite").parquet(args.output)
+            out = {
+                "mode": "clean",
+                "rows": spark.read.parquet(args.output).count(),
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+            print(json.dumps(out))
+            return 0
         res = dedup(pages, cfg, text_col=args.text_col, id_col=args.id_col)
         res.clusters.write.mode("overwrite").parquet(args.output)
         res.pairs.write.mode("overwrite").parquet(args.output + "_pairs")
