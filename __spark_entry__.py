@@ -337,6 +337,53 @@ def q_video_frames(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language corpus rebalancing: keep 50% of en, 25%
+    of de, 12.5% of fr, 10% of everything else, keyed on
+    pmod(xxhash64(doc_id), 1e6) — reproducible across runs/partitionings,
+    zero shuffles (a single codegen'd filter over the scan). The DuckDB
+    oracle recomputes Spark's XXH64 of the 8-byte LE doc_id (seed 42) in
+    HUGEINT arithmetic (_xxh64_sql_stages) — bit-exact, the wang32/
+    splitmix64 technique."""
+    from webdedup.sampling import sample_bucket, stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        {"en": 500_000, "de": 250_000, "fr": 125_000},
+        strata_col="lang",
+        default_ppm=100_000,
+    )
+    return kept.select(
+        "doc_id", "lang", sample_bucket("doc_id").cast("long").alias("sample_bucket")
+    )
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source (domain-level) corpus accounting + spam-source flag:
+    docs, chars, distinct-text count, dup rate; sources >= 25% dup rate
+    flagged for wholesale drop. One narrow shuffle (source, fingerprint);
+    oracle counts DISTINCT text where the engine counts distinct
+    xxhash64 fingerprints (identical absent 64-bit collisions — the
+    repo-wide fingerprint convention)."""
+    return TS.source_stats(_load(spark, sf_dir, "documents"))
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Order-sensitive second opinion on near-dup candidates: Levenshtein
+    distance over 256-char printable-ASCII-projected prefixes of each
+    n-gram-Jaccard candidate pair (>= 0.1), normalized ppm by the longer
+    prefix. The ASCII projection is shared verbatim with the oracle
+    because DuckDB's levenshtein counts bytes while Spark's counts
+    codepoints (identical on ASCII). Runs on the candidate set only —
+    never the corpus."""
+    from webdedup.verify import levenshtein_verify
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = TS.ngram_jaccard_pairs(docs, n=3, min_ppm=100_000)
+    return levenshtein_verify(docs, pairs, prefix_len=256, ascii_only=True)
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Pipeline's verified near-dup pairs (a, b, jaccard_ppm) at J >= 0.8.
 
@@ -886,6 +933,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "token_counts": q_token_counts,
         "video_frames": q_video_frames,
+        "stratified_sample": q_stratified_sample,
+        "source_stats": q_source_stats,
+        "edit_distance_pairs": q_edit_distance_pairs,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1506,12 +1556,14 @@ SELECT doc_id, url,
 FROM r
 """,
         # token accounting: same regexes in RE2 (probed token-for-token
-        # vs java.util.regex); length()=chars, strlen()=bytes in DuckDB
+        # vs java.util.regex); whitespace spelled as the explicit class
+        # [ \t\n\x0B\f\r] because RE2's \s shorthand excludes \x0B while
+        # Java's includes it; length()=chars, strlen()=bytes in DuckDB
         "token_counts": r"""
 SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text,
-      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+      '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'))
     AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS BIGINT) AS n_chars,
   CAST(strlen(text) AS BIGINT) AS n_bytes

@@ -75,6 +75,39 @@ def test_sample_frames_decoded_contract(spark):
     assert sum(r0.features) == 3 * 3 * 4  # every pixel counted once per channel
 
 
+def test_sample_frames_uneven_bins_counts_every_pixel(spark):
+    # bins=3 doesn't divide 256 (width 85): values 255 land in bucket 3
+    # by floor-division and must be folded into the last bucket, not
+    # silently dropped (review finding, round 4)
+    fr = np.full((1, 2, 2, 3), 255, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, encode_avi_rgb(fr, fps=10))], "media_id long, payload binary"
+    )
+    (row,) = sample_frames_decoded(media, every_ms=100, bins=3).collect()
+    assert len(row.features) == 9
+    # all 4 pixels of each channel in the LAST bucket, none lost
+    assert row.features == [0, 0, 4] * 3
+
+
+def test_zero_frame_period_skipped_in_lenient_mode(spark):
+    # an avih with dwMicroSecPerFrame=0 must fail inside the decoder so
+    # lenient mode can skip it instead of ZeroDivisionError-ing the task
+    import struct
+
+    good = encode_avi_rgb(_frames(1, 2, 2, seed=6), fps=10)
+    i = good.index(struct.pack("<I", 100_000))
+    bad = good[:i] + struct.pack("<I", 0) + good[i + 4 :]
+    with pytest.raises(ValueError, match="us_per_frame"):
+        decode_avi_rgb(bad)
+    media = spark.createDataFrame(
+        [(1, bad), (2, good)], "media_id long, payload binary"
+    )
+    ok = sample_frames_decoded(media, every_ms=100).collect()
+    assert {r.media_id for r in ok} == {2}
+    with pytest.raises(ValueError):
+        sample_frames_decoded(media, every_ms=0)
+
+
 def test_sample_frames_decoded_strict_vs_lenient(spark):
     media = spark.createDataFrame(
         [(1, b"garbage"), (2, encode_avi_rgb(_frames(1, 2, 2, seed=5), fps=10))],

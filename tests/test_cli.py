@@ -62,6 +62,35 @@ def test_cli_decontaminate(spark, tmp_path, capsys, docs_parquet):
     assert all(r.is_contaminated for r in spark.read.parquet(out_path).collect())
 
 
+def test_cli_clean_honors_id_col(spark, tmp_path, capsys):
+    # --op clean must apply the --id-col rename before clean_corpus
+    # (which hardcodes doc_id downstream) — review finding, round 4
+    path = str(tmp_path / "renamed.parquet")
+    spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog once more ok"),
+            (11, "a completely different document about spark catalyst plans"),
+        ],
+        "page_id long, body string",
+    ).write.mode("overwrite").parquet(path)
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, [
+        "--op", "clean", "--input", path, "--output", out_path,
+        "--id-col", "page_id", "--text-col", "body",
+    ])
+    assert out["mode"] == "clean"
+    assert "doc_id" in spark.read.parquet(out_path).columns
+
+
+def test_cli_op_with_catalog_rejected(tmp_path, docs_parquet):
+    # --op pii + --catalog would silently run incremental dedup instead
+    # of the requested operator — must be an argparse error
+    with pytest.raises(SystemExit):
+        main(["--op", "pii", "--catalog", str(tmp_path / "cat"),
+              "--work", str(tmp_path / "work"), "--input", docs_parquet,
+              "--output", str(tmp_path / "out")])
+
+
 def test_cli_id_and_text_col_mapping(spark, tmp_path, capsys):
     path = str(tmp_path / "renamed.parquet")
     spark.createDataFrame(

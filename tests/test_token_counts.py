@@ -56,6 +56,28 @@ def test_token_counts_whitespace_edge_cases(spark):
     assert out[3]["n_bpe_tokens"] == 5
 
 
+def test_token_counts_vertical_tab_matches_duckdb_oracle(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the regexes spell the
+    whitespace class explicitly so both engines agree on docs containing
+    a vertical tab (review finding, round 4)."""
+    import duckdb
+
+    text = "a\x0bb c\x0b\x0b d\tе́2!"
+    got = _counts(spark, [(1, text)])[1]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (1, ?)", [text])
+    import __spark_entry__ as E
+
+    want = con.execute(E.oracle_sql()["token_counts"]).df().iloc[0]
+    assert got["n_ws_tokens"] == want["n_ws_tokens"]
+    assert got["n_bpe_tokens"] == want["n_bpe_tokens"]
+    assert got["n_chars"] == want["n_chars"]
+    assert got["n_bytes"] == want["n_bytes"]
+    # \x0B is whitespace (Java semantics): "a","b","c","d","е́2!" runs
+    assert got["n_ws_tokens"] == 5
+
+
 def test_token_counts_plan_has_no_exchange(spark):
     df = TS.token_counts(_docs(spark, [(1, "a b")]))
     plan = df._jdf.queryExecution().executedPlan().toString()

@@ -92,6 +92,8 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
 
+    if args.catalog and args.op != "dedup":
+        ap.error(f"--op {args.op} is batch-only; --catalog runs incremental dedup")
     if args.op not in ("dedup", "clean") and not args.catalog:
         # single-output column ops: read -> transform -> write + row count
         if not (args.input and args.output):
@@ -147,6 +149,11 @@ def main(argv=None) -> int:
 
         pages = spark.read.parquet(args.input)
         if args.op == "clean":
+            # clean_corpus's downstream stages (select_canonical,
+            # quality gate) expect the doc_id name — map like the
+            # single-operator branch does
+            if args.id_col and args.id_col != "doc_id":
+                pages = pages.withColumnRenamed(args.id_col, "doc_id")
             cleaned = clean_corpus(pages, cfg, text_col=args.text_col)
             cleaned.write.mode("overwrite").parquet(args.output)
             out = {

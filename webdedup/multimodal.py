@@ -444,6 +444,11 @@ def decode_avi_rgb(payload: bytes):
             "(only uncompressed 24-bit DIB; no codec libraries in this environment)"
         )
     us_per_frame, n_frames = avih[0], avih[4]
+    if us_per_frame <= 0:
+        # a zero frame period would divide-by-zero every timestamp
+        # computation downstream (lenient mode must be able to SKIP this
+        # payload, so it has to fail here, inside the decoder)
+        raise ValueError(f"malformed avih: us_per_frame={us_per_frame}")
     if len(frames_raw) != n_frames:
         raise ValueError(f"frame count mismatch: movi {len(frames_raw)} vs avih {n_frames}")
     row_size = (w * 3 + 3) // 4 * 4
@@ -474,6 +479,8 @@ def sample_frames_decoded(
     """
     import numpy as np
 
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
     width = 256 // bins
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -500,8 +507,15 @@ def sample_frames_decoded(
                         seen.add(idx)
                         feats = []
                         for c in range(3):
-                            buckets = frames[idx, :, :, c].astype(np.int64).ravel() // width
-                            feats.extend(np.bincount(buckets, minlength=bins)[:bins].tolist())
+                            # clamp: when bins doesn't divide 256 evenly,
+                            # value//width can reach bins — fold the
+                            # remainder into the last bucket so every
+                            # pixel is counted exactly once per channel
+                            buckets = np.minimum(
+                                frames[idx, :, :, c].astype(np.int64).ravel() // width,
+                                bins - 1,
+                            )
+                            feats.extend(np.bincount(buckets, minlength=bins).tolist())
                         rows["media_id"].append(mid)
                         rows["frame_idx"].append(idx)
                         rows["frame_ts_ms"].append(k * every_ms)

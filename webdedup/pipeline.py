@@ -356,7 +356,7 @@ def clean_corpus(
 
     cfg = cfg or DedupConfig()
     res = dedup(pages, cfg, text_col=text_col, id_col="doc_id")
-    qual = quality_scores(pages)
+    qual = quality_scores(pages, text_col=text_col)
     canon = select_canonical(res.clusters, qual)
     keep_ids = (
         canon.where(F.col("is_canonical") == 1)

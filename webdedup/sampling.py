@@ -1,0 +1,91 @@
+"""Deterministic corpus sampling — the rebalancing pass of a training-data
+pipeline (per-language / per-source quotas over a 100-TB crawl).
+
+Web-scale corpora are heavily skewed toward a few languages and sources;
+training runs want a *reproducible* downsample at per-stratum rates (e.g.
+keep 50% of English, 12.5% of French, 10% of everything else). Coin-flip
+sampling (``df.sample``) is neither reproducible across runs nor stable
+under repartitioning; this module keys the decision on a hash of the
+document id, so the same document gets the same verdict in every run, on
+every cluster layout, and in incremental reprocessing.
+
+100-TB shape: the sample decision is ``xxhash64(doc_id) % 1e6 < rate`` —
+one built-in JVM hash plus a comparison, fully inside whole-stage codegen,
+ZERO shuffles and zero Python. The per-stratum rate lookup is a map
+literal (a few entries), not a join. Filter pushes down to the scan.
+
+The driver oracle recomputes Spark's ``xxhash64`` of the 8-byte
+little-endian long (seed 42) in DuckDB HUGEINT arithmetic — see
+``__spark_entry__._xxh64_sql_stages`` — so the sample decision is
+value-checked bit-exactly, the same technique as the wang32/splitmix64
+oracles.
+
+Reference scope note: the reference engine (minHashNearestNeighbors) has
+no sampling surface; this is part of the training-data-pipeline extension
+mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+PPM = 1_000_000
+
+
+def sample_bucket(id_col: str | Column = "doc_id") -> Column:
+    """Deterministic bucket in [0, 1e6): ``pmod(xxhash64(id), 1e6)``.
+
+    ``xxhash64`` is Spark's built-in XXH64 (seed 42) over the column's
+    8-byte representation — stable across Spark versions, partitionings,
+    and runs.
+    """
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.xxhash64(col), F.lit(PPM)).alias("sample_bucket")
+
+
+def deterministic_sample(
+    docs: DataFrame, rate_ppm: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ``rate_ppm``/1e6 fraction of ``docs``.
+
+    Same id ⇒ same verdict, independent of partitioning and run count;
+    sample sets at two rates are NESTED (rate 250k ⊂ rate 500k), which
+    makes ablation subsets consistent.
+    """
+    if not 0 <= rate_ppm <= PPM:
+        raise ValueError(f"rate_ppm must be in [0, {PPM}], got {rate_ppm}")
+    return docs.where(sample_bucket(id_col) < rate_ppm)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_ppm: dict[str, int],
+    strata_col: str = "lang",
+    default_ppm: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep rows whose hash bucket
+    falls under their stratum's rate (ppm); strata absent from
+    ``rates_ppm`` use ``default_ppm``.
+
+    The rate lookup is a literal MAP expression — constant-folded by
+    Catalyst, never a join — so the whole operator is a single codegen'd
+    filter over the scan.
+    """
+    for k, v in rates_ppm.items():
+        if not 0 <= v <= PPM:
+            raise ValueError(f"rate for stratum {k!r} must be in [0, {PPM}], got {v}")
+    if not 0 <= default_ppm <= PPM:
+        raise ValueError(f"default_ppm must be in [0, {PPM}], got {default_ppm}")
+    if rates_ppm:
+        rate_map = F.create_map(
+            *chain.from_iterable((F.lit(k), F.lit(v)) for k, v in rates_ppm.items())
+        )
+        rate = F.coalesce(
+            F.element_at(rate_map, F.col(strata_col)), F.lit(default_ppm)
+        )
+    else:
+        rate = F.lit(default_ppm)
+    return docs.where(sample_bucket(id_col) < rate)

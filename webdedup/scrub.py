@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from webdedup.joins import track_persist
+
 
 def _sliding_gram_hashes(n: int):
     """64-bit hashes of the sliding word n-grams of the ``_toks`` column.
@@ -62,10 +64,15 @@ def decontaminate(
     them, so partial aggregation collapses to <= 1 row per contaminated
     doc before the exchange; the final join-back is narrow (3 longs/doc).
     """
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("_toks"),
-    ).select("doc_id", _sliding_gram_hashes(n).alias("_ghs"))
+    # d feeds two consumers (the explode->semi-join hit count and the
+    # n_grams projection); persist so the corpus split + gram-hash pass
+    # runs once, not twice
+    d = track_persist(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        ).select("doc_id", _sliding_gram_hashes(n).alias("_ghs"))
+    )
 
     bench = (
         benchmark.select(

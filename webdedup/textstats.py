@@ -208,9 +208,9 @@ def lang_scores(docs: DataFrame) -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct, ttr_ppm) — type-token ratio quality proxy."""
-    t = _tokens()
+    t = _tokens(text_col)
     return docs.select(
         "doc_id",
         F.size(t).cast("long").alias("n_tokens"),
@@ -481,8 +481,21 @@ def canonical_url(col: str = "url"):
 # java.util.regex (Spark codegen) and RE2 (the DuckDB oracle) match
 # token-for-token: contraction suffixes, space-prefixed letter runs,
 # space-prefixed digit runs, space-prefixed punctuation runs, whitespace
-# runs. \p{L}/\p{N} are Unicode categories in both engines.
-BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+# runs. \p{L}/\p{N} are Unicode categories in both engines. Whitespace is
+# the EXPLICIT class [ \t\n\x0B\f\r] (Java's \s) rather than the \s
+# shorthand: RE2's \s excludes vertical tab \x0B, so bare \s would make
+# the engine and the oracle disagree on any document containing \x0B.
+_WS = r" \t\n\x0B\f\r"
+BPE_PRETOKEN_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^"
+    + _WS
+    + r"\p{L}\p{N}]+|["
+    + _WS
+    + "]+"
+)
+# maximal non-whitespace runs (Java-\S semantics, spelled explicitly for
+# the same RE2-parity reason)
+WS_TOKEN_RE = "[^" + _WS + "]+"
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
@@ -502,7 +515,7 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        F.size(F.regexp_extract_all("text", F.lit(WS_TOKEN_RE), 0))
         .cast("long")
         .alias("n_ws_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0))
@@ -510,4 +523,43 @@ def token_counts(docs: DataFrame) -> DataFrame:
         .alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+def source_stats(
+    docs: DataFrame, spam_threshold_ppm: int = 250_000, text_col: str = "text"
+) -> DataFrame:
+    """Per-source corpus accounting + spam-source flag: (source, n_docs,
+    n_chars, n_unique, dup_rate_ppm, is_spam_source).
+
+    Web pipelines gate ingestion per DOMAIN, not per document: a source
+    whose pages are mostly copies of each other (template farms, mirrors,
+    scrapers) is dropped wholesale before any per-doc work. ``n_unique``
+    counts distinct text fingerprints (xxhash64 — the repo-wide
+    fingerprint-equals-identity convention, see pipeline.exact_dedup);
+    ``dup_rate_ppm = (n_docs - n_unique) / n_docs`` and sources at or
+    above ``spam_threshold_ppm`` are flagged.
+
+    100-TB shape: ONE shuffle, and a narrow one — Spark plans
+    count(distinct fp) as a two-phase aggregate over (source, fp), so
+    only 16-byte pairs cross the wire, never text. The driver oracle
+    counts DISTINCT text directly (hash-free SQL), which agrees with the
+    fingerprint count absent 64-bit collisions.
+    """
+    n_docs = F.count("*").alias("n_docs")
+    agg = docs.groupBy("source").agg(
+        n_docs,
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.count_distinct(F.xxhash64(text_col)).alias("n_unique"),
+    )
+    dup_rate = F.floor(
+        F.lit(1_000_000.0) * (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs")
+    ).cast("long")
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_chars",
+        F.col("n_unique").cast("long").alias("n_unique"),
+        dup_rate.alias("dup_rate_ppm"),
+        (dup_rate >= spam_threshold_ppm).alias("is_spam_source"),
     )

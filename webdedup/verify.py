@@ -107,3 +107,59 @@ def verified_pairs(
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
     )
+
+
+# printable-ASCII projection shared verbatim with the DuckDB oracle:
+# DuckDB's levenshtein() counts BYTES while Spark's counts CODEPOINTS, so
+# the value-checked face compares ASCII projections (byte == codepoint
+# there); the engine API below still accepts full Unicode.
+ASCII_PROJECT_RE = r"[^\x09\x0A\x0D\x20-\x7E]"
+
+
+def levenshtein_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    prefix_len: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ascii_only: bool = False,
+) -> DataFrame:
+    """Edit-distance verification for candidate pairs: (a, b, edit_dist,
+    edit_ppm) where ``edit_ppm`` is the distance normalized by the longer
+    compared prefix (0 = identical, 1e6 = nothing shared).
+
+    Near-dup candidates from shingle/banding stages are *set*-similar;
+    edit distance adds an ORDER-sensitive second opinion that separates
+    true revisions (small dist) from bag-of-words coincidences. Cost is
+    O(prefix_len^2) per pair — ``prefix_len`` caps it, and the operator
+    runs on the (tiny) candidate set, never the corpus.
+
+    100-TB shape: two narrow hash joins to fetch the prefixes (built-in
+    ``left()`` keeps only ``prefix_len`` chars per side before the join
+    output), then a codegen'd JVM ``levenshtein`` — no Python, no extra
+    shuffle beyond the candidate join itself.
+
+    ``ascii_only=True`` projects to printable ASCII first — the mode the
+    driver oracle checks (see ``ASCII_PROJECT_RE``).
+    """
+    t = F.col(text_col)
+    if ascii_only:
+        t = F.regexp_replace(t, ASCII_PROJECT_RE, "")
+    prefixes = docs.select(
+        F.col(id_col).alias("_pid"), F.left(t, F.lit(prefix_len)).alias("_ptxt")
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    longer = F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1))
+    return (
+        pairs.select("a", "b")
+        .join(prefixes.withColumnsRenamed({"_pid": "a", "_ptxt": "_ta"}), "a")
+        .join(prefixes.withColumnsRenamed({"_pid": "b", "_ptxt": "_tb"}), "b")
+        .select(
+            "a",
+            "b",
+            dist.cast("long").alias("edit_dist"),
+            F.floor(F.lit(1_000_000.0) * dist / longer)
+            .cast("long")
+            .alias("edit_ppm"),
+        )
+    )
