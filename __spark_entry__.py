@@ -1266,6 +1266,44 @@ FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id
     )
 
 
+def _xxh64_mulmod(z: str, c: int) -> str:
+    """(z * c) mod 2^64 in HUGEINT: the 64-bit constant is split into
+    32-bit halves so no intermediate exceeds 2^97 (int128-safe)."""
+    ch, cl = divmod(c, _M32)
+    return f"((({z}) * {cl} + ((({z}) * {ch}) % {_M32}) * {_M32}) % {_M64})"
+
+
+def _xxh64_rotl(z: str, r: int) -> str:
+    """rotl64: the shifted-out high bits land in disjoint low bits, so
+    plain + composes them."""
+    return f"((({z}) * {1 << r}) % {_M64} + ({z}) // {1 << (64 - r)})"
+
+
+def _xxh64_sql_stages(src: str) -> str:
+    """CTE stages computing Spark's ``xxhash64`` of a BIGINT column in
+    DuckDB HUGEINT arithmetic: XXH64 (seed 42) over the value's 8
+    little-endian bytes — the single-lane len=8 path (round, rotl27,
+    avalanche). Validated bit-exact against F.xxhash64 on positive,
+    negative, and boundary longs. Input CTE ``src`` must provide
+    (doc_id, x) with x already mapped to [0, 2^64); the final CTE ``xh``
+    yields (doc_id, h) unsigned."""
+    P1, P2, P3 = 11400714785074694791, 14029467366897019727, 1609587929392839161
+    P4, P5 = 9650029242287828579, 2870177450012600261
+    h0 = (42 + P5 + 8) % _M64
+    return f"""
+xk0 AS (SELECT doc_id, {_xxh64_mulmod('x', P2)} AS k FROM {src}),
+xk1 AS (SELECT doc_id, {_xxh64_rotl('k', 31)} AS k FROM xk0),
+xk2 AS (SELECT doc_id, {_xxh64_mulmod('k', P1)} AS k FROM xk1),
+xh0 AS (SELECT doc_id, xor({h0}::HUGEINT, k) AS h FROM xk2),
+xh1 AS (SELECT doc_id, {_xxh64_rotl('h', 27)} AS h FROM xh0),
+xh2 AS (SELECT doc_id, ({_xxh64_mulmod('h', P1)} + {P4}) % {_M64} AS h FROM xh1),
+xa0 AS (SELECT doc_id, xor(h, h // {1 << 33}) AS h FROM xh2),
+xa1 AS (SELECT doc_id, {_xxh64_mulmod('h', P2)} AS h FROM xa0),
+xa2 AS (SELECT doc_id, xor(h, h // {1 << 29}) AS h FROM xa1),
+xa3 AS (SELECT doc_id, {_xxh64_mulmod('h', P3)} AS h FROM xa2),
+xh AS (SELECT doc_id, xor(h, h // {1 << 32}) AS h FROM xa3)"""
+
+
 _NGRAM_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
@@ -1590,6 +1628,57 @@ SELECT doc_id AS media_id,
             for i in range(24)
         ) + """
 FROM px GROUP BY doc_id, frame_idx
+""",
+        # deterministic stratified sampling: Spark's xxhash64(doc_id)
+        # (XXH64 of the 8-byte LE long, seed 42) recomputed bit-exactly in
+        # HUGEINT arithmetic, then Spark's pmod on the SIGNED value —
+        # NOT unsigned-mod: 2^64 % 1e6 != 0, so the two differ
+        "stratified_sample": f"""
+WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + {_M64} ELSE doc_id::HUGEINT END AS x
+      FROM documents),{_xxh64_sql_stages('src')},
+b AS (SELECT doc_id,
+        ((CASE WHEN h >= {_M64 // 2} THEN h - {_M64} ELSE h END % 1000000)
+         + 1000000) % 1000000 AS bucket
+      FROM xh)
+SELECT d.doc_id, d.lang, CAST(b.bucket AS BIGINT) AS sample_bucket
+FROM documents d JOIN b ON d.doc_id = b.doc_id
+WHERE b.bucket < CASE d.lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                             WHEN 'fr' THEN 125000 ELSE 100000 END
+""",
+        # per-source accounting: the engine counts distinct xxhash64
+        # fingerprints, the oracle distinct texts — identical absent
+        # 64-bit collisions (the repo-wide fingerprint convention)
+        "source_stats": """
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+  CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+  CAST(floor(1000000.0 * (count(*) - count(DISTINCT text)) / count(*)) AS BIGINT)
+    AS dup_rate_ppm,
+  floor(1000000.0 * (count(*) - count(DISTINCT text)) / count(*)) >= 250000
+    AS is_spam_source
+FROM documents GROUP BY source
+""",
+        # Levenshtein verification of the n-gram-Jaccard candidates over
+        # 256-char printable-ASCII-projected prefixes; the projection is
+        # shared verbatim with the engine because DuckDB's levenshtein
+        # counts bytes where Spark's counts codepoints (equal on ASCII);
+        # regexp_replace needs the 'g' flag to match Spark's replace-all
+        "edit_distance_pairs": _NGRAM_CTE
+        + r"""
+, cand AS (SELECT a, b FROM pairs WHERE jraw >= 100000),
+pref AS (SELECT doc_id,
+           left(regexp_replace(text, '[^\x09\x0A\x0D\x20-\x7E]', '', 'g'), 256) AS t
+         FROM documents),
+lev AS (SELECT c.a, c.b, levenshtein(ta.t, tb.t) AS d,
+               greatest(length(ta.t), length(tb.t), 1) AS longer
+        FROM cand c
+        JOIN pref ta ON c.a = ta.doc_id
+        JOIN pref tb ON c.b = tb.doc_id)
+SELECT a, b, CAST(d AS BIGINT) AS edit_dist,
+       CAST(floor(1000000.0 * d / longer) AS BIGINT) AS edit_ppm
+FROM lev
 """,
         # grouped top-k: plain per-lang row_number in SQL; the engine's
         # salted two-stage plan must agree exactly (both orders are total)

@@ -540,9 +540,11 @@ def source_stats(
     ``dup_rate_ppm = (n_docs - n_unique) / n_docs`` and sources at or
     above ``spam_threshold_ppm`` are flagged.
 
-    100-TB shape: ONE shuffle, and a narrow one — Spark plans
-    count(distinct fp) as a two-phase aggregate over (source, fp), so
-    only 16-byte pairs cross the wire, never text. The driver oracle
+    100-TB shape: Spark plans count(distinct fp) as a two-phase
+    aggregate — a partial agg over (source, fp) in the scan task, a
+    narrow (source, fp) exchange, then a per-source merge — so only
+    16-byte pairs and partial counters cross the wire, never text, and
+    the scan projects just (text, source). The driver oracle
     counts DISTINCT text directly (hash-free SQL), which agrees with the
     fingerprint count absent 64-bit collisions.
     """
