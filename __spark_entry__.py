@@ -384,6 +384,28 @@ def q_edit_distance_pairs(spark, sf_dir):
     return levenshtein_verify(docs, pairs, prefix_len=256, ascii_only=True)
 
 
+def q_near_decontaminate(spark, sf_dir):
+    """Paraphrase-level decontamination, value-checked end-to-end: every
+    17th doc plays a 'leaked' eval doc with its first token dropped (a
+    deterministic paraphrase both engines derive identically), and the
+    operator must find each (training doc, bench doc) pair whose word-
+    3-gram Jaccard >= 0.8 — the planted truncations AND any near-dup
+    neighbors that cross the threshold. The oracle computes the exact
+    bipartite gram Jaccard in SQL; the engine's LSH-band + broadcast +
+    verify path must reproduce the full set (candidate recall is the
+    thing being gated — same banding config the green near_dup_pairs /
+    lsh_recall_covered queries already pin at this threshold)."""
+    from webdedup.config import DedupConfig
+    from webdedup.scrub import near_decontaminate
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return near_decontaminate(docs, bench, DedupConfig(), threshold=0.8)
+
+
 def q_near_dup_pairs(spark, sf_dir):
     """Pipeline's verified near-dup pairs (a, b, jaccard_ppm) at J >= 0.8.
 
@@ -936,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_stats": q_source_stats,
         "edit_distance_pairs": q_edit_distance_pairs,
+        "near_decontaminate": q_near_decontaminate,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1679,6 +1702,42 @@ lev AS (SELECT c.a, c.b, levenshtein(ta.t, tb.t) AS d,
 SELECT a, b, CAST(d AS BIGINT) AS edit_dist,
        CAST(floor(1000000.0 * d / longer) AS BIGINT) AS edit_ppm
 FROM lev
+""",
+        # paraphrase-level decontamination: exact bipartite word-3-gram
+        # Jaccard between the corpus and the derived benchmark (every
+        # 17th doc, first token dropped — substr/instr agree 1-based in
+        # both engines, and instr=0 on spaceless docs degrades to the
+        # identity in both); the engine's bipartite LSH + broadcast +
+        # verify path must reproduce the full >= 0.8 pair set
+        "near_decontaminate": """
+WITH bench AS (
+  SELECT doc_id + 10000000 AS bench_id,
+         substr(text, instr(text, ' ') + 1) AS text
+  FROM documents WHERE doc_id % 17 = 0),
+ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+cg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE t END) AS gs
+       FROM ct),
+bt AS (SELECT bench_id, string_split(text, ' ') AS t FROM bench),
+bg AS (SELECT bench_id, list_distinct(CASE WHEN len(t) >= 3
+         THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         ELSE t END) AS gs
+       FROM bt),
+cs AS (SELECT doc_id, len(gs) AS n FROM cg),
+bs AS (SELECT bench_id, len(gs) AS n FROM bg),
+ce AS (SELECT doc_id, unnest(gs) AS gram FROM cg),
+be AS (SELECT bench_id, unnest(gs) AS gram FROM bg),
+inter AS (
+  SELECT ce.doc_id, be.bench_id, count(*) AS ni
+  FROM ce JOIN be USING (gram)
+  GROUP BY 1, 2)
+SELECT i.doc_id, i.bench_id,
+       CAST(floor(1000000.0 * ni / (cs.n + bs.n - ni)) AS BIGINT) AS jaccard_ppm
+FROM inter i
+JOIN cs ON i.doc_id = cs.doc_id
+JOIN bs ON i.bench_id = bs.bench_id
+WHERE 1000000.0 * ni / (cs.n + bs.n - ni) >= 800000
 """,
         # grouped top-k: plain per-lang row_number in SQL; the engine's
         # salted two-stage plan must agree exactly (both orders are total)

@@ -95,3 +95,48 @@ def test_pii_redact_plan_has_no_exchange(spark):
     docs = _docs(spark, [(1, "a"), (2, "b")])
     plan = scrub.pii_redact(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_near_decontaminate_catches_paraphrase_not_verbatim_only(spark):
+    from webdedup.config import DedupConfig
+    from webdedup.scrub import near_decontaminate
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+            "kilo lima mike november oscar papa quebec romeo sierra tango "
+            "uniform victor whiskey xray yankee zulu one two three four")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "totally different text about catalyst plans and shuffles "
+                "with enough tokens to form plenty of distinct grams here"),
+        ],
+        "doc_id long, text string",
+    )
+    # benchmark doc = base with the first two tokens dropped: a paraphrase,
+    # not a verbatim superset — exact n-gram decontamination at n=8 would
+    # still hit this, but the POINT is the Jaccard gate fires on edits
+    bench = spark.createDataFrame(
+        [(100, base.split(" ", 2)[2]), (101, "unrelated eval question text "
+          "padded with additional words so gram sets exist")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.bench_id): r.jaccard_ppm
+           for r in near_decontaminate(docs, bench, DedupConfig(), 0.8).collect()}
+    assert (1, 100) in out and out[(1, 100)] >= 800_000
+    assert all(a != 2 for a, _ in out)  # clean doc never flagged
+    assert all(b != 101 for _, b in out)  # unrelated bench doc matches nothing
+
+
+def test_near_decontaminate_below_threshold_pair_excluded(spark):
+    from webdedup.config import DedupConfig
+    from webdedup.scrub import near_decontaminate
+
+    words = ["w%d" % i for i in range(40)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    # keep only the first half: Jaccard ~ 18/38 << 0.8
+    bench = spark.createDataFrame(
+        [(9, " ".join(words[:20]))], "doc_id long, text string"
+    )
+    assert near_decontaminate(docs, bench, DedupConfig(), 0.8).count() == 0

@@ -140,3 +140,97 @@ def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     return docs.select(
         F.col(id_col).alias("doc_id"), *counts, clean.alias("clean_text")
     )
+
+
+def near_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    cfg=None,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paraphrase-level decontamination: (doc_id, bench_id, jaccard_ppm)
+    for training docs whose shingle-set Jaccard with a benchmark doc
+    reaches ``threshold``.
+
+    :func:`decontaminate` catches VERBATIM n-gram overlap; lightly edited
+    eval material (dropped sentence, reflowed whitespace, re-hosted copy)
+    slips through it. This operator runs the dedup pipeline's own
+    MinHash-LSH machinery BIPARTITE: corpus band rows join the (small,
+    broadcast) benchmark band table, and candidates get the exact
+    shingle-Jaccard verify — so "near-dup of an eval doc" uses exactly
+    the same similarity the dedup pipeline uses for "near-dup of another
+    training doc".
+
+    100-TB shape: the corpus side featurizes once (text crosses Arrow
+    once) and self-joins NEVER — candidates come from a broadcast-hash
+    join against the eval suite's exploded bands (eval suites are
+    thousands of docs; their band and shingle tables are a few MB).
+    Corpus hot buckets are tombstoned first (lsh.surviving_buckets), so
+    a boilerplate band hash cannot fan the broadcast join out. The
+    verify stage touches candidate rows only.
+    """
+    from webdedup.config import DedupConfig
+    from webdedup.lsh import explode_bands, surviving_buckets
+    from webdedup.signatures import featurize
+    from webdedup.verify import jaccard_udf
+
+    cfg = cfg or DedupConfig()
+    corp = track_persist(
+        featurize(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            cfg,
+        ).select("doc_id", "shingles", "n_shingles", "bands")
+    )
+    bfeat = track_persist(
+        featurize(
+            benchmark.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            cfg,
+        ).select(
+            F.col("doc_id").alias("bench_id"), "shingles", "n_shingles", "bands"
+        )
+    )
+    bband = bfeat.select(
+        "bench_id", F.posexplode("bands").alias("band", "band_hash")
+    )
+    cand = (
+        surviving_buckets(explode_bands(corp), cfg)
+        .join(F.broadcast(bband), ["band", "band_hash"])
+        .select("doc_id", "bench_id")
+        .dropDuplicates(["doc_id", "bench_id"])
+    )
+    w = cand.join(
+        corp.select(
+            "doc_id",
+            F.col("shingles").alias("sh_a"),
+            F.col("n_shingles").alias("n_a"),
+        ),
+        "doc_id",
+    ).join(
+        F.broadcast(
+            bfeat.select(
+                "bench_id",
+                F.col("shingles").alias("sh_b"),
+                F.col("n_shingles").alias("n_b"),
+            )
+        ),
+        "bench_id",
+    )
+    # JVM size-ratio prefilter: J <= min/max can never reach threshold
+    size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+    return (
+        w.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .where(size_bound >= F.lit(threshold))
+        .withColumn("jaccard", jaccard_udf("sh_a", "sh_b"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select(
+            "doc_id",
+            "bench_id",
+            F.floor(F.lit(1_000_000.0) * F.col("jaccard"))
+            .cast("long")
+            .alias("jaccard_ppm"),
+        )
+    )
