@@ -104,3 +104,37 @@ def test_cli_id_and_text_col_mapping(spark, tmp_path, capsys):
     assert out["rows"] == 1
     row = spark.read.parquet(out_path).collect()[0]
     assert row.doc_id == 10 and row.n_ws_tokens == 4
+
+
+def test_cli_sample_stratified(spark, tmp_path, capsys):
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "text %d" % i, "en" if i % 2 else "de") for i in range(2000)],
+        "doc_id long, text string, lang string",
+    ).write.mode("overwrite").parquet(path)
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, [
+        "--op", "sample", "--input", path, "--output", out_path,
+        "--rates", "en=500000", "--rate-ppm", "100000",
+    ])
+    kept = spark.read.parquet(out_path)
+    n_en = kept.where("lang = 'en'").count()
+    n_de = kept.where("lang = 'de'").count()
+    assert out["rows"] == n_en + n_de
+    assert abs(n_en - 500) < 120 and abs(n_de - 100) < 80
+
+
+def test_cli_source_stats_and_near_decontaminate(spark, tmp_path, capsys, docs_parquet):
+    with_source = str(tmp_path / "src.parquet")
+    spark.read.parquet(docs_parquet).selectExpr(
+        "doc_id", "text", "'site.example' AS source"
+    ).write.mode("overwrite").parquet(with_source)
+    out = _run(capsys, ["--op", "source-stats", "--input", with_source,
+                        "--output", str(tmp_path / "s_out")])
+    assert out["rows"] == 1  # one source group
+    out2 = _run(capsys, [
+        "--op", "near-decontaminate", "--input", docs_parquet,
+        "--benchmark", docs_parquet, "--output", str(tmp_path / "n_out"),
+    ])
+    # corpus vs itself: every doc near-matches its own benchmark copy
+    assert out2["rows"] >= 3

@@ -24,6 +24,11 @@ Single-operator modes (read parquet -> transform -> write parquet)::
     python -m webdedup.cli --op pii          --input docs.parquet --output out
     python -m webdedup.cli --op decontaminate --input docs.parquet \\
         --benchmark eval.parquet --ngram 8 --output out
+    python -m webdedup.cli --op near-decontaminate --input docs.parquet \\
+        --benchmark eval.parquet --jaccard 0.8 --output out
+    python -m webdedup.cli --op sample --input docs.parquet \\
+        --rates en=500000,de=250000 --rate-ppm 100000 --output out
+    python -m webdedup.cli --op source-stats --input docs.parquet --output out
     python -m webdedup.cli --op clean        --input docs.parquet --output out
 
 Packaging for a cluster: ``zip -r webdedup.zip webdedup`` then pass
@@ -76,13 +81,19 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--op",
         default="dedup",
-        choices=["dedup", "clean", "pii", "decontaminate", "token-counts",
-                 "quality", "span-dedup"],
+        choices=["dedup", "clean", "pii", "decontaminate", "near-decontaminate",
+                 "token-counts", "quality", "span-dedup", "sample",
+                 "source-stats"],
         help="operator to run over --input (all except dedup/clean need a "
         "doc_id column, or name yours with --id-col)",
     )
-    ap.add_argument("--benchmark", help="eval-set parquet (decontaminate op)")
+    ap.add_argument("--benchmark", help="eval-set parquet (decontaminate ops)")
     ap.add_argument("--ngram", type=int, default=8, help="n-gram size (decontaminate op)")
+    ap.add_argument("--rate-ppm", type=int, default=None,
+                    help="default keep rate in ppm (sample op)")
+    ap.add_argument("--rates", default=None,
+                    help="per-stratum rates, e.g. 'en=500000,de=250000' (sample op)")
+    ap.add_argument("--strata-col", default="lang", help="stratum column (sample op)")
     args = ap.parse_args(argv)
 
     from webdedup.session import get_spark
@@ -114,6 +125,33 @@ def main(argv=None) -> int:
             if args.text_col != "text":
                 bench = bench.withColumnRenamed(args.text_col, "text")
             res_df = scrub.decontaminate(docs, bench, n=args.ngram)
+        elif args.op == "near-decontaminate":
+            if not args.benchmark:
+                ap.error("--benchmark required with --op near-decontaminate")
+            bench = spark.read.parquet(args.benchmark)
+            if args.text_col != "text":
+                bench = bench.withColumnRenamed(args.text_col, "text")
+            res_df = scrub.near_decontaminate(
+                docs, bench, cfg, threshold=args.jaccard
+            )
+        elif args.op == "sample":
+            from webdedup.sampling import deterministic_sample, stratified_sample
+
+            if args.rates:
+                rates = {
+                    k: int(v)
+                    for k, v in (kv.split("=", 1) for kv in args.rates.split(","))
+                }
+                res_df = stratified_sample(
+                    docs, rates, strata_col=args.strata_col,
+                    default_ppm=args.rate_ppm or 0,
+                )
+            elif args.rate_ppm is not None:
+                res_df = deterministic_sample(docs, args.rate_ppm)
+            else:
+                ap.error("--rate-ppm or --rates required with --op sample")
+        elif args.op == "source-stats":
+            res_df = textstats.source_stats(docs)
         elif args.op == "token-counts":
             res_df = textstats.token_counts(docs)
         elif args.op == "quality":
