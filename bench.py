@@ -218,6 +218,22 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
             F.sum("n_removed"), F.sum(F.length("clean_text"))
         ).collect()
 
+    def _near_decon():
+        # paraphrase decontamination at corpus scale: ~500-doc derived
+        # benchmark (every 401st page, first token dropped) — the
+        # eval-suite-sized broadcast side; cost should be ~one featurize
+        # pass + a broadcast join, NEVER a corpus self-join
+        from webdedup.scrub import near_decontaminate
+
+        d = spark.read.parquet(path).select(
+            F.xxhash64("url").alias("doc_id"), "text"
+        )
+        bench = d.where(F.pmod(F.col("doc_id"), F.lit(401)) == 0).select(
+            (F.col("doc_id") + 1).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+        near_decontaminate(d, bench, E.CFG).count()
+
     def _kneighbors():
         # max_bin_size=50 = the REFERENCE's own default: common-token argmin
         # buckets on web text are huge, and the reference semantics tombstone
@@ -234,10 +250,12 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
     spark.catalog.clearCache()
     release_persisted()
 
-    timings: dict[str, list] = {"dedup": [], "kneighbors": [], "span_dedup": []}
+    timings: dict[str, list] = {
+        "dedup": [], "kneighbors": [], "span_dedup": [], "near_decon": []
+    }
     for _ in range(max(1, reps)):
         for name, fn in (("dedup", _dedup), ("kneighbors", _kneighbors),
-                         ("span_dedup", _span)):
+                         ("span_dedup", _span), ("near_decon", _near_decon)):
             t0 = time.perf_counter()
             fn()
             timings[name].append(round(time.perf_counter() - t0, 3))
@@ -249,7 +267,7 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
         return v[len(v) // 2]
 
     ded, knn = med(timings["dedup"]), med(timings["kneighbors"])
-    spn = med(timings["span_dedup"])
+    spn, ndc = med(timings["span_dedup"]), med(timings["near_decon"])
     spark.stop()
     return {
         "n_docs": n,
@@ -262,6 +280,8 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
         "kneighbors_vs_dedup": round(knn / ded, 2),
         "span_dedup_sec": spn,
         "span_dedup_pages_per_sec": round(n / spn, 1),
+        "near_decon_sec": ndc,
+        "near_decon_pages_per_sec": round(n / ndc, 1),
         "rep_timings": timings,
     }
 
