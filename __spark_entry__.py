@@ -384,6 +384,20 @@ def q_edit_distance_pairs(spark, sf_dir):
     return levenshtein_verify(docs, pairs, prefix_len=256, ascii_only=True)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing index (concat-and-chunk training batch
+    assembly): shard = pmod(xxhash64(doc_id), 8), shard-local token
+    start offsets via a running window sum ordered by doc_id, pack_id =
+    start // 512, straddles flag for boundary-crossing docs. ONE shuffle
+    (by shard); the oracle recomputes the XXH64 shard assignment
+    bit-exactly (_xxh64_sql_stages) and the same window sum in SQL."""
+    from webdedup.sampling import pack_sequences
+
+    return pack_sequences(
+        _load(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8
+    )
+
+
 def q_near_decontaminate(spark, sf_dir):
     """Paraphrase-level decontamination, value-checked end-to-end: every
     17th doc plays a 'leaked' eval doc with its first token dropped (a
@@ -959,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "edit_distance_pairs": q_edit_distance_pairs,
         "near_decontaminate": q_near_decontaminate,
+        "pack_sequences": q_pack_sequences,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1702,6 +1717,31 @@ lev AS (SELECT c.a, c.b, levenshtein(ta.t, tb.t) AS d,
 SELECT a, b, CAST(d AS BIGINT) AS edit_dist,
        CAST(floor(1000000.0 * d / longer) AS BIGINT) AS edit_ppm
 FROM lev
+""",
+        # sequence packing: XXH64 shard assignment (bit-exact, signed
+        # pmod), then a per-shard running token sum — window frame ROWS
+        # UNBOUNDED PRECEDING TO 1 PRECEDING matches Spark's exactly;
+        # integer // for pack_id (offsets < 2^53 so Spark's floor(double
+        # division) agrees)
+        "pack_sequences": f"""
+WITH src AS (SELECT doc_id,
+        CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + {_M64} ELSE doc_id::HUGEINT END AS x
+      FROM documents),{_xxh64_sql_stages('src')},
+sh AS (SELECT doc_id,
+        ((CASE WHEN h >= {_M64 // 2} THEN h - {_M64} ELSE h END % 8) + 8) % 8 AS shard
+       FROM xh),
+base AS (SELECT d.doc_id, CAST(sh.shard AS BIGINT) AS shard,
+                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents d JOIN sh ON d.doc_id = sh.doc_id),
+off AS (SELECT doc_id, shard, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        FROM base)
+SELECT doc_id, shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512) AS straddles
+FROM off
 """,
         # paraphrase-level decontamination: exact bipartite word-3-gram
         # Jaccard between the corpus and the derived benchmark (every

@@ -123,3 +123,64 @@ def test_levenshtein_verify_ascii_projection_and_prefix(spark):
     )
     (capped,) = levenshtein_verify(long_docs, pairs, prefix_len=100).collect()
     assert capped.edit_dist == 0  # difference lies beyond the prefix
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    from webdedup.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget_tokens=16, n_shards=1).collect()
+    rows = sorted(out, key=lambda r: r.doc_id)
+    # single shard: offsets are exact multiples of 10 in doc_id order
+    assert [r.start_offset for r in rows] == [10 * i for i in range(50)]
+    assert all(r.n_tokens == 10 for r in rows)
+    # budget 16, docs of 10: doc at offset 0 -> pack 0 covers [0,16) and
+    # the doc spans [0,10) -> no straddle; offset 10 spans [10,20) -> straddles
+    assert rows[0].pack_id == 0 and not rows[0].straddles
+    assert rows[1].pack_id == 0 and rows[1].straddles
+    # every token position is covered exactly once: total tokens == last
+    # doc's start + its length
+    assert rows[-1].start_offset + rows[-1].n_tokens == 500
+
+
+def test_pack_sequences_shards_are_independent_streams(spark):
+    from webdedup.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(1_000)], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, budget_tokens=64, n_shards=16)
+    per_shard = {r["shard"]: r for r in out.groupBy("shard").agg(
+        F.min("start_offset").alias("mn"),
+        (F.max("start_offset") + F.max("n_tokens")).alias("total"),
+        F.count("*").alias("n"),
+    ).collect()}
+    assert len(per_shard) == 16
+    for r in per_shard.values():
+        assert r["mn"] == 0  # every shard's stream starts at offset 0
+        assert r["total"] == 3 * r["n"]  # contiguous: no gaps in the stream
+    # growth stability: adding docs leaves other shards' layout untouched
+    more = docs.union(
+        spark.createDataFrame([(5_000, "x y")], "doc_id long, text string")
+    )
+    base = {(r.doc_id): (r.shard, r.start_offset)
+            for r in pack_sequences(docs, 64, 16).collect()}
+    grown = {(r.doc_id): (r.shard, r.start_offset)
+             for r in pack_sequences(more, 64, 16).collect()}
+    new_shard = grown[5_000][0]
+    for did, (sh, off) in base.items():
+        if sh != new_shard:
+            assert grown[did] == (sh, off)
+
+
+def test_pack_sequences_validation(spark):
+    from webdedup.sampling import pack_sequences
+
+    docs = _ids(spark, 5).withColumn("text", F.lit("a"))
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, n_shards=0)

@@ -89,3 +89,59 @@ def stratified_sample(
     else:
         rate = F.lit(default_ppm)
     return docs.where(sample_bucket(id_col) < rate)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 2048,
+    n_shards: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence-packing index: (doc_id, shard, n_tokens,
+    start_offset, pack_id, straddles).
+
+    Training batch assembly concatenates documents and slices the token
+    stream into fixed ``budget_tokens`` windows; a document starts at its
+    shard-local ``start_offset`` and belongs to ``pack_id =
+    start_offset // budget`` (it ``straddles`` when it crosses the next
+    window boundary — the concat-and-chunk semantics real LM training
+    uses, not per-doc bin packing). The assignment is fully deterministic:
+    shard = ``pmod(xxhash64(doc_id), n_shards)``, order within a shard is
+    by doc_id.
+
+    100-TB shape: ONE shuffle (by shard) and a per-shard window running
+    sum. ``n_shards`` bounds the sort: at 10^12 docs, 2^20 shards keep
+    each window partition at ~10^6 rows. No global ordering is ever
+    imposed — shards are independent streams, which is also what keeps
+    the layout stable under corpus growth (new docs perturb only their
+    own shard).
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.pmod(F.xxhash64(id_col), F.lit(n_shards)).alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / budget_tokens).cast("long").alias("pack_id"),
+        (
+            F.floor(start / budget_tokens)
+            != F.floor((start + F.col("n_tokens") - 1) / budget_tokens)
+        ).alias("straddles"),
+    )
