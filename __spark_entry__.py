@@ -1748,18 +1748,26 @@ FROM off
         # 17th doc, first token dropped — substr/instr agree 1-based in
         # both engines, and instr=0 on spaceless docs degrades to the
         # identity in both); the engine's bipartite LSH + broadcast +
-        # verify path must reproduce the full >= 0.8 pair set
+        # verify path must reproduce the full >= 0.8 pair set. Tokens are
+        # Python-split-emulated (list_filter drops empties) because the
+        # engine side is the KERNEL path (kernels.token_ids), and an
+        # empty-token doc then has no gram rows — matching the engine's
+        # n_shingles > 0 guard
         "near_decontaminate": """
 WITH bench AS (
   SELECT doc_id + 10000000 AS bench_id,
          substr(text, instr(text, ' ') + 1) AS text
   FROM documents WHERE doc_id % 17 = 0),
-ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ct AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+       FROM documents),
 cg AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
          THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          ELSE t END) AS gs
        FROM ct),
-bt AS (SELECT bench_id, string_split(text, ' ') AS t FROM bench),
+bt AS (SELECT bench_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+       FROM bench),
 bg AS (SELECT bench_id, list_distinct(CASE WHEN len(t) >= 3
          THEN list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
          ELSE t END) AS gs

@@ -138,3 +138,26 @@ def test_cli_source_stats_and_near_decontaminate(spark, tmp_path, capsys, docs_p
     ])
     # corpus vs itself: every doc near-matches its own benchmark copy
     assert out2["rows"] >= 3
+
+
+def test_cli_near_decontaminate_honors_id_col(spark, tmp_path, capsys):
+    # the benchmark side needs the --id-col rename too (unlike
+    # decontaminate, which only reads the benchmark's text)
+    path = str(tmp_path / "renamed.parquet")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today")],
+        "page_id long, body string",
+    ).write.mode("overwrite").parquet(path)
+    out = _run(capsys, [
+        "--op", "near-decontaminate", "--input", path, "--benchmark", path,
+        "--id-col", "page_id", "--text-col", "body",
+        "--output", str(tmp_path / "out"),
+    ])
+    assert out["rows"] == 1  # the doc matches its own benchmark copy
+
+
+def test_cli_sample_malformed_rates_is_argparse_error(docs_parquet, tmp_path):
+    for bad in ("en", "en=50%"):
+        with pytest.raises(SystemExit):
+            main(["--op", "sample", "--input", docs_parquet,
+                  "--output", str(tmp_path / "out"), "--rates", bad])

@@ -193,3 +193,30 @@ def test_ppm_channel_histogram_counts():
     assert r[0] == 6 and r[1:].sum() == 0
     assert g[100 // 32] == 6 and g.sum() == 6
     assert b[7] == 6 and b[:7].sum() == 0
+
+
+def test_histograms_uneven_bins_fixed_length_and_total():
+    # bins=3 doesn't divide the value range: the overflow bucket must fold
+    # into the last bin (fixed-length vectors, no dropped values) in BOTH
+    # sibling kernels, mirroring the sample_frames_decoded fix
+    import numpy as np
+
+    from webdedup.multimodal import (
+        encode_ppm, encode_wav_pcm, ppm_channel_histogram, wav_sample_histogram,
+    )
+
+    px = np.full((2, 2, 3), 255, dtype=np.uint8)
+    out = ppm_channel_histogram(encode_ppm(px), bins=3)
+    assert len(out) == 2 + 3 * 3  # w, h + 3 channels x 3 bins exactly
+    assert list(out[2:5]) == [0, 0, 4]  # all pixels in the LAST bucket
+
+    samples = np.full(8, 32767, dtype=np.int16)
+    hist = wav_sample_histogram(encode_wav_pcm(samples), bins=3)
+    assert len(hist) == 3 and list(hist) == [0, 0, 8]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ppm_channel_histogram(encode_ppm(px), bins=0)
+    with _pytest.raises(ValueError):
+        wav_sample_histogram(encode_wav_pcm(samples), bins=0)

@@ -184,3 +184,15 @@ def test_pack_sequences_validation(spark):
         pack_sequences(docs, budget_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(docs, n_shards=0)
+
+
+def test_source_stats_null_text_not_a_duplicate_group(spark):
+    # xxhash64(NULL) would return the seed, collapsing all NULL-text docs
+    # into one pseudo-fingerprint; n_unique must ignore NULLs like SQL's
+    # count(DISTINCT text)
+    docs = spark.createDataFrame(
+        [(0, "real text", "s"), (1, None, "s"), (2, None, "s")],
+        "doc_id long, text string, source string",
+    )
+    (row,) = source_stats(docs).collect()
+    assert row.n_docs == 3 and row.n_unique == 1

@@ -131,6 +131,9 @@ def main(argv=None) -> int:
             bench = spark.read.parquet(args.benchmark)
             if args.text_col != "text":
                 bench = bench.withColumnRenamed(args.text_col, "text")
+            # unlike decontaminate, this op reads the benchmark's ID too
+            if args.id_col and args.id_col != "doc_id":
+                bench = bench.withColumnRenamed(args.id_col, "doc_id")
             res_df = scrub.near_decontaminate(
                 docs, bench, cfg, threshold=args.jaccard
             )
@@ -138,10 +141,18 @@ def main(argv=None) -> int:
             from webdedup.sampling import deterministic_sample, stratified_sample
 
             if args.rates:
-                rates = {
-                    k: int(v)
-                    for k, v in (kv.split("=", 1) for kv in args.rates.split(","))
-                }
+                try:
+                    rates = {
+                        k: int(v)
+                        for k, v in (
+                            kv.split("=", 1) for kv in args.rates.split(",")
+                        )
+                    }
+                except ValueError:
+                    ap.error(
+                        "--rates must be comma-separated stratum=ppm pairs, "
+                        f"e.g. 'en=500000,de=250000'; got {args.rates!r}"
+                    )
                 res_df = stratified_sample(
                     docs, rates, strata_col=args.strata_col,
                     default_ppm=args.rate_ppm or 0,

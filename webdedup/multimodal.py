@@ -144,9 +144,14 @@ def wav_sample_histogram(payload: bytes, bins: int = 16):
     oracle). The decode step is the REAL parser above."""
     import numpy as np
 
+    if not 1 <= bins <= 65536:
+        raise ValueError(f"bins must be in [1, 65536], got {bins}")
     s = decode_wav_pcm(payload)
     width = 65536 // bins
-    idx = (s.astype(np.int64) + 32768) // width
+    # clamp: when bins doesn't divide 65536 evenly, value//width can reach
+    # bins — fold the remainder into the last bucket so the vector length
+    # is always exactly `bins` and every sample is counted once
+    idx = np.minimum((s.astype(np.int64) + 32768) // width, bins - 1)
     return np.bincount(idx, minlength=bins).astype(np.int64)
 
 
@@ -305,12 +310,16 @@ def ppm_channel_histogram(payload: bytes, bins: int = 8):
     above."""
     import numpy as np
 
+    if not 1 <= bins <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
     px = decode_ppm(payload)
     h, w, _ = px.shape
     width = 256 // bins
     out = [np.int64(w), np.int64(h)]
     for c in range(3):
-        idx = px[:, :, c].astype(np.int64).ravel() // width
+        # clamp like sample_frames_decoded: uneven bins must not emit an
+        # overflow bucket (ragged vectors) nor drop 255-valued pixels
+        idx = np.minimum(px[:, :, c].astype(np.int64).ravel() // width, bins - 1)
         out.extend(np.bincount(idx, minlength=bins).astype(np.int64))
     return np.array(out, dtype=np.int64)
 
@@ -481,6 +490,8 @@ def sample_frames_decoded(
 
     if every_ms <= 0:
         raise ValueError(f"every_ms must be positive, got {every_ms}")
+    if not 1 <= bins <= 256:
+        raise ValueError(f"bins must be in [1, 256], got {bins}")
     width = 256 // bins
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -174,7 +174,7 @@ def near_decontaminate(
     from webdedup.config import DedupConfig
     from webdedup.lsh import explode_bands, surviving_buckets
     from webdedup.signatures import featurize
-    from webdedup.verify import jaccard_udf
+    from webdedup.verify import exact_jaccard_gate
 
     cfg = cfg or DedupConfig()
     corp = track_persist(
@@ -219,18 +219,10 @@ def near_decontaminate(
         ),
         "bench_id",
     )
-    # JVM size-ratio prefilter: J <= min/max can never reach threshold
-    size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
-    return (
-        w.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
-        .where(size_bound >= F.lit(threshold))
-        .withColumn("jaccard", jaccard_udf("sh_a", "sh_b"))
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select(
-            "doc_id",
-            "bench_id",
-            F.floor(F.lit(1_000_000.0) * F.col("jaccard"))
-            .cast("long")
-            .alias("jaccard_ppm"),
-        )
+    return exact_jaccard_gate(w, threshold).select(
+        "doc_id",
+        "bench_id",
+        F.floor(F.lit(1_000_000.0) * F.col("jaccard"))
+        .cast("long")
+        .alias("jaccard_ppm"),
     )

@@ -549,10 +549,15 @@ def source_stats(
     fingerprint count absent 64-bit collisions.
     """
     n_docs = F.count("*").alias("n_docs")
+    # NULL texts carry no fingerprint (Spark's xxhash64(NULL) would return
+    # the seed, silently making every NULL-text doc "the same document");
+    # the when() guard keeps them out of n_unique exactly like SQL's
+    # count(DISTINCT text) ignores NULLs
+    fp = F.when(F.col(text_col).isNotNull(), F.xxhash64(text_col))
     agg = docs.groupBy("source").agg(
         n_docs,
         F.sum(F.length(text_col)).cast("long").alias("n_chars"),
-        F.count_distinct(F.xxhash64(text_col)).alias("n_unique"),
+        F.count_distinct(fp).alias("n_unique"),
     )
     dup_rate = F.floor(
         F.lit(1_000_000.0) * (F.col("n_docs") - F.col("n_unique")) / F.col("n_docs")

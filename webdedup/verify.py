@@ -86,27 +86,33 @@ def attach_shingles(
     )
 
 
+def exact_jaccard_gate(pairs_with_shingles: DataFrame, threshold: float) -> DataFrame:
+    """The exact-verify tail shared by the dedup pipeline and bipartite
+    decontamination: require non-empty shingle sets on both sides, apply
+    the cheap JVM size-ratio prefilter (J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    so pairs whose sizes already rule out the threshold never reach the
+    Python kernel — the analogue of the reference's precomputed dot
+    products, sparseMatrix.h:60-123), then the exact Jaccard kernel and
+    the threshold cut. Input needs columns sh_a/sh_b/n_a/n_b; output
+    keeps all input columns plus ``jaccard``.
+    """
+    size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
+    return (
+        pairs_with_shingles.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .where(size_bound >= F.lit(threshold))
+        .withColumn("jaccard", jaccard_udf("sh_a", "sh_b"))
+        .where(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
 def verified_pairs(
     pairs: DataFrame, feat: DataFrame, threshold: float,
     max_broadcast_ids: int = 2_000_000,
     known_max: int | None = None,
 ) -> DataFrame:
-    """(a, b, jaccard) for candidate pairs passing the exact-Jaccard gate.
-
-    Cheap JVM-side prefilter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
-    pairs whose size ratio already rules out the threshold never reach the
-    Python kernel (the analogue of the reference's precomputed dot products,
-    sparseMatrix.h:60-123).
-    """
+    """(a, b, jaccard) for candidate pairs passing the exact-Jaccard gate."""
     w = attach_shingles(pairs, feat, max_broadcast_ids, known_max=known_max)
-    size_bound = F.least("n_a", "n_b") / F.greatest("n_a", "n_b")
-    return (
-        w.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
-        .where(size_bound >= F.lit(threshold))
-        .withColumn("jaccard", jaccard_udf("sh_a", "sh_b"))
-        .where(F.col("jaccard") >= F.lit(threshold))
-        .select("a", "b", "jaccard")
-    )
+    return exact_jaccard_gate(w, threshold).select("a", "b", "jaccard")
 
 
 # printable-ASCII projection shared verbatim with the DuckDB oracle:
