@@ -994,6 +994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # only, so the oracle must compare at the same granularity)
 _REP_SRC = "(SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
 
+# NOTE: no empty-token filter here even though several consumers
+# (near_dup_pairs, dedup_clusters) gate KERNEL-face engine paths
+# (Python split, empties dropped): lsh_recall_covered's brute side is
+# the TEXTSTATS face (F.split, empties kept), so this shared CTE cannot
+# match both faces on consecutive-space text. The two faces coincide on
+# every fixture corpus (FIXTURES.md text is single-space-joined by
+# construction), which is the invariant that keeps the shared CTE valid;
+# a purely kernel-face oracle (near_decontaminate) applies list_filter.
 _NGRAM_CTE_REP = f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM {_REP_SRC}),
 grams AS (
@@ -1342,6 +1350,11 @@ xa3 AS (SELECT doc_id, {_xxh64_mulmod('h', P3)} AS h FROM xa2),
 xh AS (SELECT doc_id, xor(h, h // {1 << 32}) AS h FROM xa3)"""
 
 
+# NOTE: deliberately NO empty-token filter here — this CTE mirrors the
+# TEXTSTATS face (F.split(text, ' '), empties kept); the kernel-face
+# oracles (_NGRAM_CTE_REP, _tokid_cte) apply list_filter to emulate
+# Python str.split() instead. The two faces differ on consecutive-space
+# text, so each oracle must match its own engine path.
 _NGRAM_CTE = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (
