@@ -141,3 +141,47 @@ def test_rolling_hash_substring_invariance(pre, shared, post):
     # and every window fully inside the shared block matches
     m = len(shared) - k + 1
     assert np.array_equal(ha[ia : ia + m], hb[:m])
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1, max_size=60, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_xxh64_sql_stages_match_reference(vals):
+    """The DuckDB HUGEINT XXH64 oracle (stratified_sample / pack_sequences)
+    is bit-exact vs an independent pure-python XXH64 over arbitrary longs —
+    the hash Spark's xxhash64 computes for an 8-byte LE long, seed 42."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    M = 1 << 64
+    P1, P2 = 11400714785074694791, 14029467366897019727
+    P3, P4, P5 = 1609587929392839161, 9650029242287828579, 2870177450012600261
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) % M
+
+    def ref(v, seed=42):
+        v %= M
+        h = (seed + P5 + 8) % M
+        k1 = rotl((v * P2) % M, 31)
+        h ^= (k1 * P1) % M
+        h = (rotl(h, 27) * P1 + P4) % M
+        h ^= h >> 33
+        h = (h * P2) % M
+        h ^= h >> 29
+        h = (h * P3) % M
+        return h ^ (h >> 32)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    sql = (
+        "WITH src AS (SELECT doc_id, CASE WHEN doc_id < 0 "
+        f"THEN doc_id::HUGEINT + {M} ELSE doc_id::HUGEINT END AS x FROM t),"
+        + E._xxh64_sql_stages("src")
+        + " SELECT doc_id, h FROM xh"
+    )
+    got = dict(con.execute(sql).fetchall())
+    for v in vals:
+        assert int(got[v]) == ref(v), v
