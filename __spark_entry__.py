@@ -384,6 +384,44 @@ def q_edit_distance_pairs(spark, sf_dir):
     return levenshtein_verify(docs, pairs, prefix_len=256, ascii_only=True)
 
 
+def q_wet_ingest(spark, sf_dir):
+    """WET (Common-Crawl extracted-text WARC) ingestion, value-checked as
+    an exact inversion: documents are serialized into synthetic WET file
+    contents (5 files, warcinfo preamble + one conversion record per doc,
+    JVM concat — sources.to_wet_records), the record split the file
+    reader performs at scan time is applied (same delimiter), and
+    sources.parse_wet_records must recover (url, warc_date, text)
+    byte-exactly — including the octet-count Content-Length trim through
+    encode/substring/decode. The oracle is the DIRECT expected output
+    from documents: any header/regex/slice bug breaks the hash."""
+    from webdedup.sources import parse_wet_records, to_wet_records
+
+    docs = _load(spark, sf_dir, "documents")
+    recs = to_wet_records(docs)
+    files = (
+        recs.withColumn("f", F.col("doc_id") % 5)
+        .groupBy("f")
+        .agg(
+            F.concat(
+                F.lit(
+                    "WARC/1.0\r\nWARC-Type: warcinfo\r\n\r\nSoftware: synthetic\r\n\r\n"
+                ),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "record"))),
+                        lambda s: s["record"],
+                    ),
+                    "",
+                ),
+            ).alias("content")
+        )
+    )
+    split_rows = files.select(
+        F.explode(F.split("content", "WARC/1\\.0\r\n")).alias("value")
+    ).where(F.col("value") != "")
+    return parse_wet_records(split_rows)
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence-packing index (concat-and-chunk training batch
     assembly): shard = pmod(xxhash64(doc_id), 8), shard-local token
@@ -974,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "near_decontaminate": q_near_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "wet_ingest": q_wet_ingest,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1730,6 +1769,15 @@ lev AS (SELECT c.a, c.b, levenshtein(ta.t, tb.t) AS d,
 SELECT a, b, CAST(d AS BIGINT) AS edit_dist,
        CAST(floor(1000000.0 * d / longer) AS BIGINT) AS edit_ppm
 FROM lev
+""",
+        # WET ingestion: the oracle is the DIRECT expected pages output —
+        # the engine's generate → record-split → parse round-trip must be
+        # the identity on (url, warc_date, text)
+        "wet_ingest": """
+SELECT 'https://example.org/doc/' || doc_id AS url,
+       '2024-01-01T00:00:00Z' AS warc_date,
+       text
+FROM documents
 """,
         # sequence packing: XXH64 shard assignment (bit-exact, signed
         # pmod), then a per-shard running token sum — window frame ROWS

@@ -161,3 +161,24 @@ def test_cli_sample_malformed_rates_is_argparse_error(docs_parquet, tmp_path):
         with pytest.raises(SystemExit):
             main(["--op", "sample", "--input", docs_parquet,
                   "--output", str(tmp_path / "out"), "--rates", bad])
+
+
+def test_cli_dedup_from_wet_input(spark, tmp_path, capsys):
+    # end-to-end: WET files in, clusters out — the exact-dup pair must
+    # collapse just like a parquet input would
+    from tests.test_sources import _write_wet
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    path = _write_wet(tmp_path, "f.wet", [
+        ("http://a.example/1", text),
+        ("http://a.example/2", text),
+        ("http://a.example/3", "a totally different page about catalyst"),
+    ])
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, ["--input", path, "--input-format", "wet",
+                        "--output", out_path])
+    assert out["counters"]["pages"] == 3
+    assert out["counters"]["unique_texts"] == 2
+    clusters = spark.read.parquet(out_path)
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert n_clusters == 2

@@ -31,6 +31,10 @@ Single-operator modes (read parquet -> transform -> write parquet)::
     python -m webdedup.cli --op source-stats --input docs.parquet --output out
     python -m webdedup.cli --op clean        --input docs.parquet --output out
 
+WET input (Common-Crawl extracted-text WARC) for any mode::
+
+    python -m webdedup.cli --input crawl/wet/ --input-format wet --output out
+
 Packaging for a cluster: ``zip -r webdedup.zip webdedup`` then pass
 ``--py-files webdedup.zip``; all code is pure Python + numpy (shipped on
 executors via the UDF pickles), no native builds.
@@ -60,9 +64,28 @@ def build_config(args) -> DedupConfig:
     )
 
 
+def _read_input(spark, args):
+    """--input as a pages frame; WET files land in the pages shape with
+    doc_id = xxhash64(url) (the featurize convention)."""
+    if args.input_format == "wet":
+        from pyspark.sql import functions as F
+
+        from webdedup.sources import read_wet
+
+        return read_wet(spark, args.input).withColumn(
+            "doc_id", F.xxhash64("url")
+        )
+    return spark.read.parquet(args.input)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="webdedup")
     ap.add_argument("--input", help="pages parquet path (batch mode)")
+    ap.add_argument(
+        "--input-format", default="parquet", choices=["parquet", "wet"],
+        help="wet = Common-Crawl extracted-text WARC files (record-split "
+        "at scan time; doc_id derived as xxhash64(url))",
+    )
     ap.add_argument("--catalog", help="source catalog root (incremental mode)")
     ap.add_argument("--table", default="pages")
     ap.add_argument("--work", help="work/checkpoint dir (incremental mode)")
@@ -111,7 +134,7 @@ def main(argv=None) -> int:
             ap.error("--input and --output required")
         from webdedup import scrub, textstats
 
-        docs = spark.read.parquet(args.input)
+        docs = _read_input(spark, args)
         if args.id_col and args.id_col != "doc_id":
             docs = docs.withColumnRenamed(args.id_col, "doc_id")
         if args.text_col != "text":
@@ -196,7 +219,7 @@ def main(argv=None) -> int:
         from webdedup.metrics import partition_lineage
         from webdedup.pipeline import clean_corpus, collect_counters, dedup
 
-        pages = spark.read.parquet(args.input)
+        pages = _read_input(spark, args)
         if args.op == "clean":
             # clean_corpus's downstream stages (select_canonical,
             # quality gate) expect the doc_id name — map like the
