@@ -245,7 +245,7 @@ def q_pii_redact(spark, sf_dir):
     full = F.concat(
         F.col("text"),
         F.lit(" contact user"), did.cast("string"), F.lit("@example.com from 10."),
-        (did % 256).cast("string"), F.lit(".0.1 call 555-"),
+        (did % 256).cast("string"), F.lit(".0.1 call 212-555-"),
         F.lpad((did % 10000).cast("string"), 4, "0"),
     )
     mail_only = F.concat(
@@ -1628,7 +1628,7 @@ FROM corpus c LEFT JOIN hits h USING (doc_id)
 WITH inj AS (SELECT doc_id,
   CASE WHEN doc_id % 3 = 0 THEN
          text || ' contact user' || doc_id || '@example.com from 10.'
-              || (doc_id % 256) || '.0.1 call 555-'
+              || (doc_id % 256) || '.0.1 call 212-555-'
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
        WHEN doc_id % 3 = 1 THEN text || ' mail user' || doc_id || '@test.org'
        ELSE text END AS text
@@ -1636,11 +1636,11 @@ WITH inj AS (SELECT doc_id,
 SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
   CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
   regexp_replace(regexp_replace(regexp_replace(text,
       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
+      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS clean_text
 FROM inj
 """,
         # URL canonicalization: the oracle re-implements the generic rule
@@ -1792,7 +1792,7 @@ sh AS (SELECT doc_id,
         ((CASE WHEN h >= {_M64 // 2} THEN h - {_M64} ELSE h END % 8) + 8) % 8 AS shard
        FROM xh),
 base AS (SELECT d.doc_id, CAST(sh.shard AS BIGINT) AS shard,
-                CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+                CAST(len(regexp_extract_all(d.text, '[^ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
          FROM documents d JOIN sh ON d.doc_id = sh.doc_id),
 off AS (SELECT doc_id, shard, n_tokens,
                COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -55,7 +55,7 @@ def test_pii_redact_counts_and_redacts(spark):
         spark,
         [
             (1, "mail bob@example.com or alice@test.org now"),
-            (2, "host 10.1.2.3 and 192.168.0.1 dial 555-0042"),
+            (2, "host 10.1.2.3 and 192.168.0.1 dial 212-555-0042"),
             (3, "clean text with no pii at all"),
         ],
     )
@@ -71,6 +71,23 @@ def test_pii_redact_counts_and_redacts(spark):
         "n_phones": 0,
         "clean_text": "clean text with no pii at all",
     }
+
+
+def test_pii_phone_pattern_skips_numeric_ranges(spark):
+    """Bare NNN-NNNN tokens (numeric ranges, ISBN/id fragments) are NOT
+    phones (ADVICE r4) — only the full area-code form redacts."""
+    docs = _docs(
+        spark,
+        [
+            (1, "pages 100-2000 of ISBN part 555-1234 unchanged"),
+            (2, "reach me at 212-555-0042 today"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in scrub.pii_redact(docs).collect()}
+    assert out[1]["n_phones"] == 0
+    assert out[1]["clean_text"] == "pages 100-2000 of ISBN part 555-1234 unchanged"
+    assert out[2]["n_phones"] == 1
+    assert out[2]["clean_text"] == "reach me at <PHONE> today"
 
 
 def test_pii_redact_ordering_on_overlapping_matches(spark):

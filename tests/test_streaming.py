@@ -145,3 +145,33 @@ def test_epoch_key_is_path_spelling_invariant(spark, tmp_path):
         sd._checkpoint_dir = spelling
         keys.add(sd._epoch_key(3))
     assert len(keys) == 1, keys
+
+
+def test_legacy_epoch_key_recognised_across_upgrade(spark, tmp_path):
+    """A manifest written BEFORE the realpath key normalization stores
+    epochs under the raw checkpoint spelling; a stream restarted across
+    that upgrade replays its last epoch under the new spelling and must
+    NOT double-ingest it (ADVICE r4): the replay probe must also check the
+    legacy raw-spelling key."""
+    pages, _ = pages_dataframe(spark, n=40, seed=7)
+    pages = pages.select("url", "text", "lang")
+
+    sd = StreamingDedup(spark, str(tmp_path / "work"), CFG)
+    # a spelling whose realpath differs from the raw string (trailing /)
+    raw_spelling = str(tmp_path / "ckpt") + "/"
+    os.makedirs(raw_spelling, exist_ok=True)
+    sd._checkpoint_dir = raw_spelling
+    assert sd._legacy_epoch_key(0) != sd._epoch_key(0)
+
+    # simulate the PRE-upgrade engine: epoch 0 manifested under the raw key
+    sd.source.append("pages", pages, key=sd._legacy_epoch_key(0))
+    snaps_before = len(sd.source.snapshots("pages"))
+
+    # post-upgrade replay of the same epoch: must be recognised, 0 new snaps
+    sd._process_batch(pages, epoch_id=0)
+    assert len(sd.source.snapshots("pages")) == snaps_before
+
+    # and a genuinely new epoch still ingests under the new key
+    more, _ = pages_dataframe(spark, n=10, seed=42)
+    sd._process_batch(more.select("url", "text", "lang"), epoch_id=1)
+    assert len(sd.source.snapshots("pages")) == snaps_before + 1

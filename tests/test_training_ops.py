@@ -196,3 +196,25 @@ def test_source_stats_null_text_not_a_duplicate_group(spark):
     )
     (row,) = source_stats(docs).collect()
     assert row.n_docs == 3 and row.n_unique == 1
+
+
+def test_pack_sequences_token_face_matches_token_counts(spark):
+    """Packing must size offsets with the SAME tokenization as the budget
+    surface (textstats.token_counts n_ws_tokens): on whitespace-irregular
+    text, split-on-space counts phantom empty tokens (ADVICE r4)."""
+    from webdedup.sampling import pack_sequences
+    from webdedup.textstats import token_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  leading and   internal  runs "),
+            (2, "tabs\tand\nnewlines\tcount right"),
+            (3, "plain four token text"[:21]),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    packed = {r.doc_id: r.n_tokens for r in pack_sequences(docs, 16, 1).collect()}
+    counted = {r.doc_id: r.n_ws_tokens for r in token_counts(docs).collect()}
+    assert packed == counted
+    assert packed[1] == 4 and packed[2] == 5 and packed[4] == 0

@@ -142,6 +142,15 @@ class Catalog:
         self._store(table, m)
         return sid
 
+    def has_key(self, table: str, key: str) -> bool:
+        """True iff a manifested snapshot carries this idempotency key
+        (manifest-only lookup — no Spark job). Lets producers probe
+        alternative key spellings (e.g. the pre-normalization legacy
+        epoch-key format, streaming.py ADVICE r4) before appending."""
+        if not self.exists(table):
+            return False
+        return any(s.get("key") == key for s in self._load(table)["snapshots"])
+
     # ---- read path ----
 
     def _files_between(self, table: str, after: int | None, upto: int | None) -> list:

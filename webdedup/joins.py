@@ -24,7 +24,15 @@ the default scope AND every still-registered run scope.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, functions as F
+
+#: guards every _LIVE_SCOPES mutation: a streaming micro-batch thread can
+#: track_persist() concurrently with a main-thread release_persisted(), and
+#: unsynchronized check-then-act on the shared list can double-register a
+#: scope or raise from list.remove (ADVICE r4)
+_SCOPES_LOCK = threading.Lock()
 
 
 class PersistScope:
@@ -38,7 +46,8 @@ class PersistScope:
 
     def __init__(self):
         self._frames: list[DataFrame] = []
-        _LIVE_SCOPES.append(self)
+        with _SCOPES_LOCK:
+            _LIVE_SCOPES.append(self)
 
     def add(self, df: DataFrame) -> DataFrame:
         import os
@@ -63,8 +72,9 @@ class PersistScope:
         # thread) while still active on this thread's stack; the moment it
         # tracks a new frame it must be live again or that frame escapes
         # every future bulk release
-        if self not in _LIVE_SCOPES:
-            _LIVE_SCOPES.append(self)
+        with _SCOPES_LOCK:
+            if self not in _LIVE_SCOPES:
+                _LIVE_SCOPES.append(self)
         return df
 
     def release(self) -> int:
@@ -75,8 +85,9 @@ class PersistScope:
             except Exception:
                 pass  # session already stopped / frame gone — best-effort
         self._frames.clear()
-        if self in _LIVE_SCOPES:
-            _LIVE_SCOPES.remove(self)
+        with _SCOPES_LOCK:
+            if self in _LIVE_SCOPES:
+                _LIVE_SCOPES.remove(self)
         return n
 
 
@@ -93,9 +104,7 @@ _LIVE_SCOPES: list[PersistScope] = [_DEFAULT_SCOPE]
 # calls into the other thread's scope and let a finishing micro-batch
 # release a concurrent run's caches mid-flight. Each thread starts at the
 # shared default scope.
-import threading as _threading
-
-_TLS = _threading.local()
+_TLS = threading.local()
 
 
 def _stack() -> list:
@@ -139,10 +148,13 @@ def release_persisted() -> int:
     ``PersistScope`` instead.
     """
     n = 0
-    for scope in list(_LIVE_SCOPES):
+    with _SCOPES_LOCK:
+        scopes = list(_LIVE_SCOPES)
+    for scope in scopes:
         n += scope.release()
-    if _DEFAULT_SCOPE not in _LIVE_SCOPES:
-        _LIVE_SCOPES.append(_DEFAULT_SCOPE)
+    with _SCOPES_LOCK:
+        if _DEFAULT_SCOPE not in _LIVE_SCOPES:
+            _LIVE_SCOPES.append(_DEFAULT_SCOPE)
     return n
 
 

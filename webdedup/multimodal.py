@@ -211,10 +211,13 @@ def media_dedup_exact(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(video: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plan for video rows: one row per sampled timestamp.
+    """Frame-sampling PLAN for video rows: one row per sampled timestamp
+    — pure-JVM explode over the metadata, no payload decode touched.
 
-    Decode is stubbed (NotImplementedError in strict mode); the exploded
-    (media_id, frame_ts_ms) plan is the real Spark-side contract.
+    This is the metadata face (which timestamps WOULD be sampled, from
+    duration alone — cheap, runs on any row); the decoding sibling
+    :func:`sample_frames_decoded` actually extracts pixel frames from
+    uncompressed-DIB AVI payloads. No stub remains on this path.
     """
     return (
         video.where(F.col("kind") == "video")

@@ -123,10 +123,19 @@ def pack_sequences(
         raise ValueError(f"n_shards must be positive, got {n_shards}")
     from pyspark.sql import Window
 
+    # token face = textstats.token_counts' n_ws_tokens (maximal \S+ runs):
+    # packing offsets must be sized with the SAME count as the budget
+    # surface they fill — a bare split-on-space counts empty strings from
+    # leading/trailing/consecutive whitespace and drifts on irregular
+    # corpora (ADVICE r4)
+    from webdedup.textstats import WS_TOKEN_RE
+
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.pmod(F.xxhash64(id_col), F.lit(n_shards)).alias("shard"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WS_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

@@ -105,7 +105,12 @@ def decontaminate(
 # the oracle (DuckDB, RE2) match byte-for-byte on the same patterns.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-PHONE_RE = r"\b\d{3}-\d{4}\b"
+# Full NANP area-code form only: the bare NNN-NNNN shape also matches
+# ordinary numeric ranges / ISBN fragments / date-ish tokens ('100-2000'),
+# over-redacting non-PII (ADVICE r4). RE2 has no lookbehind, so the
+# tightening is the 10-digit form rather than context anchors — keeps the
+# pattern inside the common java.util.regex/RE2 subset the oracle needs.
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
 
 _PII_ORDER = (
     ("email", EMAIL_RE, "<EMAIL>"),
@@ -120,7 +125,12 @@ def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     Returns (doc_id, n_emails, n_ips, n_phones, clean_text). Redaction
     order is fixed (email -> ip -> phone) so an IP-shaped substring inside
     an email domain is consumed by the email pass first; counts are taken
-    BEFORE any replacement, each against the original text.
+    BEFORE any replacement, each against the original text. The counts are
+    therefore PER-PATTERN RAW MATCHES, not redaction counts: a digit run
+    already consumed by an earlier pass still counts for later patterns
+    (n_emails + n_ips + n_phones can exceed the tokens replaced in
+    clean_text) — the count columns answer "how much PII-shaped content
+    did this page carry", the clean_text answers "what survives".
 
     100-TB shape: row-local regexes inside whole-stage codegen — zero
     shuffles, zero Python; the patterns are restricted to the common

@@ -70,10 +70,28 @@ class StreamingDedup:
             ident = os.path.realpath(os.path.abspath(loc))
         return f"ckpt={ident}#epoch={epoch_id}"
 
+    def _legacy_epoch_key(self, epoch_id: int) -> str:
+        # pre-normalization key format (raw caller spelling of the
+        # checkpoint location): a manifest written before the realpath
+        # upgrade stores its epochs under THIS spelling, so a stream
+        # restarted across the upgrade must probe it on replay or the
+        # replayed epoch misses the stored key and double-ingests once —
+        # exactly-once would break at the upgrade boundary (ADVICE r4)
+        return f"ckpt={self._checkpoint_dir or ''}#epoch={epoch_id}"
+
     def _process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        self.source.append(self.table, batch_df, key=self._epoch_key(epoch_id))
+        key = self._epoch_key(epoch_id)
+        legacy = self._legacy_epoch_key(epoch_id)
+        if legacy != key and self.source.has_key(self.table, legacy):
+            # epoch already ingested under the pre-upgrade key spelling:
+            # skip the append (replay), still run the engine so any
+            # unprocessed manifested snapshot drains — same behavior as a
+            # same-spelling keyed replay
+            self.engine.process(self.table)
+            return
+        self.source.append(self.table, batch_df, key=key)
         self.engine.process(self.table)
         self.batches_processed += 1
 
