@@ -436,6 +436,50 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """REAL byte-level BPE token counts under the committed 512-merge
+    trained fixture (webdedup/data/bpe_merges_synth.txt): JVM
+    pretokenizer → Arrow merge-loop kernel (kernels.bpe_count_word, the
+    public GPT-2 merge algorithm). The oracle replays ALL 512 merges in
+    DuckDB as a rank-ordered replace chain — sound because the trained
+    table is rank-monotone (a pair using a merged symbol always ranks
+    after the merge that produced it), every merge is letter-only (never
+    crosses a pretoken boundary), each merged symbol maps to a unique
+    private-use marker char, and replace()'s left-to-right non-overlap
+    scan is exactly the merge-all-occurrences step. n_tokens = bytes −
+    merges applied."""
+    from webdedup.textstats import token_counts_bpe
+
+    return token_counts_bpe(_load(spark, sf_dir, "documents"))
+
+
+def _bpe_replace_chain_sql() -> str:
+    """Generate the 512-step DuckDB oracle for token_counts_bpe (see the
+    soundness argument in q_token_counts_bpe's docstring; preconditions
+    are asserted by tests/test_bpe.py::test_fixture_oracle_preconditions)."""
+    from webdedup.textstats import load_bpe_merges
+
+    merges = load_bpe_merges()
+    enc: dict[str, str] = {}
+    ctes = [
+        "b0 AS (SELECT doc_id, octet_length(encode(text)) AS nb,"
+        " length(text) AS nc, text AS t FROM documents)"
+    ]
+    for i, (l, r) in enumerate(merges):
+        pat = enc.get(l, l) + enc.get(r, r)
+        enc[l + r] = chr(0xE000 + i)
+        ctes.append(
+            f"b{i+1} AS (SELECT doc_id, nb, nc,"
+            f" replace(t, '{pat}', chr({0xE000 + i})) AS t FROM b{i})"
+        )
+    n = len(merges)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT doc_id, CAST(nb - (nc - length(t)) AS BIGINT) AS n_bpe_real"
+        f" FROM b{n}"
+    )
+
+
 def q_near_decontaminate(spark, sf_dir):
     """Paraphrase-level decontamination, value-checked end-to-end: every
     17th doc plays a 'leaked' eval doc with its first token dropped (a
@@ -1012,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "near_decontaminate": q_near_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "token_counts_bpe": q_token_counts_bpe,
         "wet_ingest": q_wet_ingest,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1621,6 +1666,10 @@ SELECT c.doc_id,
        CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
 FROM corpus c LEFT JOIN hits h USING (doc_id)
 """,
+        # REAL BPE under the committed 512-merge fixture: the oracle
+        # replays every merge as a rank-ordered replace chain (generated;
+        # soundness argument in q_token_counts_bpe)
+        "token_counts_bpe": _bpe_replace_chain_sql(),
         # PII: identical injection + identical regexes (common
         # java.util.regex / RE2 subset), counts before replacement,
         # replacement order email -> ip -> phone in both engines

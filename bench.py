@@ -120,18 +120,47 @@ def run_bench(sf_dir: str, cpus: int, reps: int = 3) -> dict:
 
 BENCH_CORPUS = os.environ.get("WEBDEDUP_BENCH_CORPUS", "/tmp/webdedup_bench/pages_200k.parquet")
 BENCH_ROWS = int(os.environ.get("WEBDEDUP_BENCH_ROWS", "200000"))
+BENCH_CORPUS_1M = os.environ.get(
+    "WEBDEDUP_BENCH_CORPUS_1M", "/tmp/webdedup_bench/pages_1m.parquet"
+)
+BENCH_ROWS_1M = int(os.environ.get("WEBDEDUP_BENCH_ROWS_1M", "1000000"))
 
 
 def ensure_corpus(path: str = BENCH_CORPUS, n: int = BENCH_ROWS) -> str:
-    """Deterministic synthetic bench corpus (FIXTURES.md planted-dup structure)."""
+    """Deterministic synthetic bench corpus (FIXTURES.md planted-dup structure).
+
+    Above 250k rows generation is CHUNKED (250k docs per chunk, per-chunk
+    seed, per-chunk url namespace) so the pandas staging frame stays
+    bounded; the planted dup structure is then chunk-local, which is the
+    realistic shape anyway — at 1M+ pages duplicate mass is what matters,
+    not cross-chunk truth pairs (the correctness gates run at test scale).
+    """
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     from webdedup.fixtures import generate_pages_fast
     from webdedup.session import get_spark
 
-    pdf, _ = generate_pages_fast(n, seed=42)
+    chunk = 250_000
     spark = get_spark("webdedup-gen", cores=8)
-    spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    if n <= chunk:
+        pdf, _ = generate_pages_fast(n, seed=42)
+        spark.createDataFrame(pdf).repartition(32).write.mode("overwrite").parquet(path)
+    else:
+        # stage under a temp name, rename when complete: a crash mid-chunk
+        # must not leave a partial corpus that passes the _SUCCESS check
+        import shutil
+
+        tmp = path + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        mode = "overwrite"
+        for ci, off in enumerate(range(0, n, chunk)):
+            pdf, _ = generate_pages_fast(min(chunk, n - off), seed=42 + ci)
+            # disjoint url space per chunk (urls embed the row index)
+            pdf["url"] = pdf["url"].str.replace("/page", f"/c{ci}p", regex=False)
+            spark.createDataFrame(pdf).repartition(16).write.mode(mode).parquet(tmp)
+            mode = "append"
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
     spark.stop()
     return path
 
@@ -167,8 +196,14 @@ def run_dedup_pages(path: str, cpus: int) -> dict:
     }
 
 
-def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
-    """Work-dominated 200k-page rows for the per-round artifact (VERDICT r3
+def run_corpus_bench(
+    cpus: int = CPUS,
+    reps: int = 3,
+    path: str | None = None,
+    with_kneighbors: bool = True,
+    label: str = "200k",
+) -> dict:
+    """Work-dominated corpus rows for the per-round artifact (VERDICT r3
     asks #7/#8): sf0.1's 5,000 docs are fixed-overhead-dominated, so
     regressions in the actual compute path only show at this scale.
 
@@ -179,18 +214,26 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
       round-2 re-rank; the 2-hop join is the plan at risk), median of
       ``reps``. Feature prep (distinct crc32 token ids) is JVM-side and
       included in the timing like the reference's own fit timings.
+
+    Protocol (VERDICT r4 ask #2): ONE UNTIMED FULL-SCALE WARMUP PASS of
+    every op before the timed reps — the r4 artifact's rep spread
+    (87/70/43 s) showed JIT + page-cache warmup being timed, overstating
+    the median ~1.5× vs steady state. The slice warmup alone is not
+    enough: codegen for the full plans and the OS page cache of the
+    parquet only warm at full scale.
     """
     import __spark_entry__ as E
     from pyspark.sql import functions as F
 
     from webdedup.api import MinHashNeighbors
+    from webdedup import components
     from webdedup.joins import release_persisted
     from webdedup.pipeline import dedup
     from webdedup.session import get_spark
 
-    path = ensure_corpus()
+    path = path or ensure_corpus()
     spark = get_spark(
-        f"webdedup-200k-{cpus}", cores=cpus, shuffle_partitions=max(2 * cpus, 16)
+        f"webdedup-{label}-{cpus}", cores=cpus, shuffle_partitions=max(2 * cpus, 16)
     )
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(path)
@@ -245,20 +288,27 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
         ).fit(feats)
         nn.kneighbors().count()
 
-    # JIT/codegen warmup on a slice (fresh-JVM first run is ~1.7x slower)
-    dedup(pages.limit(20000), E.CFG).clusters.count()
-    spark.catalog.clearCache()
-    release_persisted()
+    ops = [("dedup", _dedup), ("span_dedup", _span), ("near_decon", _near_decon)]
+    if with_kneighbors:
+        ops.insert(1, ("kneighbors", _kneighbors))
 
-    timings: dict[str, list] = {
-        "dedup": [], "kneighbors": [], "span_dedup": [], "near_decon": []
-    }
+    # UNTIMED full-scale warmup pass (JIT/codegen for the real plans, OS
+    # page cache of the parquet, shuffle-service paths) — r4's rep spread
+    # proved the old slice-only warmup left the first timed rep ~2× slow
+    for _, fn in ops:
+        fn()
+        spark.catalog.clearCache()
+        release_persisted()
+
+    timings: dict[str, list] = {name: [] for name, _ in ops}
+    cc_rounds = None
     for _ in range(max(1, reps)):
-        for name, fn in (("dedup", _dedup), ("kneighbors", _kneighbors),
-                         ("span_dedup", _span), ("near_decon", _near_decon)):
+        for name, fn in ops:
             t0 = time.perf_counter()
             fn()
             timings[name].append(round(time.perf_counter() - t0, 3))
+            if name == "dedup":
+                cc_rounds = components.LAST_STATS.get("rounds")
             spark.catalog.clearCache()
             release_persisted()
 
@@ -266,24 +316,32 @@ def run_corpus_bench(cpus: int = CPUS, reps: int = 3) -> dict:
         v = sorted(vals)
         return v[len(v) // 2]
 
-    ded, knn = med(timings["dedup"]), med(timings["kneighbors"])
+    ded = med(timings["dedup"])
     spn, ndc = med(timings["span_dedup"]), med(timings["near_decon"])
     spark.stop()
-    return {
+    out = {
         "n_docs": n,
         "cpus": cpus,
         "reps": reps,
+        "warmup": "one untimed full-scale pass per op",
         "dedup_sec": ded,
         "dedup_pages_per_sec": round(n / ded, 1),
-        "kneighbors_sec": knn,
-        "kneighbors_docs_per_sec": round(n / knn, 1),
-        "kneighbors_vs_dedup": round(knn / ded, 2),
         "span_dedup_sec": spn,
         "span_dedup_pages_per_sec": round(n / spn, 1),
         "near_decon_sec": ndc,
         "near_decon_pages_per_sec": round(n / ndc, 1),
+        "cc_rounds": cc_rounds,
+        "cc_sym_edges": components.LAST_STATS.get("n_sym_edges"),
         "rep_timings": timings,
     }
+    if with_kneighbors:
+        knn = med(timings["kneighbors"])
+        out.update(
+            kneighbors_sec=knn,
+            kneighbors_docs_per_sec=round(n / knn, 1),
+            kneighbors_vs_dedup=round(knn / ded, 2),
+        )
+    return out
 
 
 def run_scaling(n_low: int = 2, n_high: int = 8, reps: int = 3) -> dict:
@@ -498,6 +556,13 @@ if __name__ == "__main__":
         print(json.dumps(run_featurize_scaling()))
     elif "--corpus-bench" in sys.argv:
         print(json.dumps(run_corpus_bench(CPUS)))
+    elif "--corpus-1m" in sys.argv:
+        print(json.dumps(run_corpus_bench(
+            CPUS,
+            reps=int(os.environ.get("WEBDEDUP_BENCH_1M_REPS", "2")),
+            path=ensure_corpus(BENCH_CORPUS_1M, BENCH_ROWS_1M),
+            with_kneighbors=False, label="1m",
+        )))
     elif "--dedup-pages" in sys.argv:
         path = sys.argv[sys.argv.index("--dedup-pages") + 1]
         print(json.dumps(run_dedup_pages(path, CPUS)))
@@ -511,4 +576,25 @@ if __name__ == "__main__":
                 out["corpus_200k"] = run_corpus_bench(CPUS)
             except Exception as e:  # noqa: BLE001
                 out["corpus_200k"] = {"error": str(e)[:500]}
+        # 1M-page scale row (VERDICT r4 ask #1): dedup + span_dedup +
+        # near_decon at 5× the 200k corpus — the superlinearity probe
+        # (per-op walls vs linear from 200k, CC round count). Warmed
+        # medians like the 200k section. WEBDEDUP_BENCH_1M=0 skips.
+        if os.environ.get("WEBDEDUP_BENCH_1M", "1") != "0":
+            try:
+                out["corpus_1m"] = run_corpus_bench(
+                    CPUS,
+                    reps=int(os.environ.get("WEBDEDUP_BENCH_1M_REPS", "2")),
+                    path=ensure_corpus(BENCH_CORPUS_1M, BENCH_ROWS_1M),
+                    with_kneighbors=False, label="1m",
+                )
+                c2, c1 = out.get("corpus_200k", {}), out["corpus_1m"]
+                if "dedup_sec" in c2 and "dedup_sec" in c1:
+                    scale = c1["n_docs"] / c2["n_docs"]
+                    c1["vs_linear_from_200k"] = {
+                        op: round(c1[f"{op}_sec"] / (c2[f"{op}_sec"] * scale), 3)
+                        for op in ("dedup", "span_dedup", "near_decon")
+                    }
+            except Exception as e:  # noqa: BLE001
+                out["corpus_1m"] = {"error": str(e)[:500]}
         print(json.dumps(out))

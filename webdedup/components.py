@@ -15,6 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, functions as F
 
 
+#: diagnostics from the most recent connected_components call on this
+#: driver (rounds to fixpoint, symmetric edge count, active vertices):
+#: the scale-evidence benches read it to show CC round count stays flat
+#: as the corpus grows (hash-min + pointer jumping converges in
+#: O(log diameter) — the 100-TB claim rests on that curve, BENCH r5)
+LAST_STATS: dict = {}
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -82,6 +90,7 @@ def connected_components(
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         labels = new_labels
+        LAST_STATS.update(rounds=it + 1, n_sym_edges=n_edges)
         if (ob.get["changed"] or 0) == 0:
             break
     else:

@@ -213,3 +213,49 @@ def pages_dataframe(spark, n: int = 500, seed: int = 42):
     pages = spark.createDataFrame(pdf[["url", "warc_ts", "html", "text", "lang"]])
     truth = spark.createDataFrame(tdf) if len(tdf) else None
     return pages, truth
+
+
+def train_bpe_merges(texts: list, n_merges: int = 256) -> list:
+    """Classic BPE training (Sennrich et al. 2016, public algorithm):
+    count word frequencies, repeatedly merge the most frequent symbol
+    pair. Deterministic (ties broken by pair bytes). Used to produce the
+    committed merges fixture (webdedup/data/bpe_merges_synth.txt) from
+    the deterministic synthetic corpus; production users load a real
+    GPT-2 merges.txt through the same textstats.load_bpe_merges face.
+
+    Training is a DRIVER-SIDE bounded-sample operation by design (the
+    IVF-centroid pattern): a merges table is a few hundred rows trained
+    once on a sample, then applied distributively.
+    """
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(t.split())
+    # symbol sequences with frequencies
+    vocab = {tuple(w.encode("utf-8")[i : i + 1] for i in range(len(w.encode("utf-8")))): c
+             for w, c in words.items()}
+    merges: list = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] += c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        merges.append((best[0].decode("utf-8"), best[1].decode("utf-8")))
+        merged = best[0] + best[1]
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == best[0] and syms[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges

@@ -460,3 +460,68 @@ def substring_fingerprints_batch(
         win = np.lib.stride_tricks.sliding_window_view(h, window)
         out[d] = np.unique(win.min(axis=1))
     return out
+
+
+# ---- byte-level BPE (GPT-2-style merge application) ----
+
+
+def bpe_ranks(merges: list) -> dict:
+    """[(left, right), ...] in rank order → {(left_bytes, right_bytes): rank}."""
+    return {
+        (l.encode("utf-8"), r.encode("utf-8")): i for i, (l, r) in enumerate(merges)
+    }
+
+
+def bpe_count_word(word: bytes, ranks: dict) -> int:
+    """Token count of one pretoken under byte-level BPE.
+
+    GPT-2 merge loop (public algorithm, encoder.py of the GPT-2 release):
+    start from single BYTES, repeatedly find the lowest-ranked pair
+    present anywhere in the word and merge ALL its (left-to-right,
+    non-overlapping) occurrences, until no rankable pair remains. Only
+    the COUNT is returned — budget accounting needs sizes, not ids.
+    """
+    symbols = [word[i : i + 1] for i in range(len(word))]
+    while len(symbols) > 1:
+        best_rank, best = None, None
+        for pair in zip(symbols, symbols[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        merged = best[0] + best[1]
+        out, i, n = [], 0, len(symbols)
+        while i < n:
+            if i < n - 1 and symbols[i] == best[0] and symbols[i + 1] == best[1]:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return len(symbols)
+
+
+def bpe_count_pretokens(pretoken_rows: list, ranks: dict, _cache: dict | None = None) -> np.ndarray:
+    """Per-doc REAL BPE token counts: rows of pretoken lists → int64 counts.
+
+    The pretokenizer already ran JVM-side (textstats.BPE_PRETOKEN_RE via
+    regexp_extract_all — merges never cross pretoken boundaries, exactly
+    GPT-2's contract), so this kernel only applies the merge loop. A
+    memo cache keyed by pretoken string makes natural text cheap: the
+    Zipfian head means most pretokens repeat within an Arrow batch.
+    """
+    cache: dict = {} if _cache is None else _cache
+    out = np.zeros(len(pretoken_rows), dtype=np.int64)
+    for d, toks in enumerate(pretoken_rows):
+        if toks is None:
+            continue
+        total = 0
+        for t in toks:
+            c = cache.get(t)
+            if c is None:
+                c = cache[t] = bpe_count_word(t.encode("utf-8"), ranks)
+            total += c
+        out[d] = total
+    return out

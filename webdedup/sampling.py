@@ -97,6 +97,7 @@ def pack_sequences(
     n_shards: int = 1024,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence-packing index: (doc_id, shard, n_tokens,
     start_offset, pack_id, straddles).
@@ -127,15 +128,21 @@ def pack_sequences(
     # packing offsets must be sized with the SAME count as the budget
     # surface they fill — a bare split-on-space counts empty strings from
     # leading/trailing/consecutive whitespace and drifts on irregular
-    # corpora (ADVICE r4)
+    # corpora (ADVICE r4). ``n_tokens_col`` overrides with a precomputed
+    # count column (e.g. textstats.token_counts_bpe REAL BPE counts joined
+    # onto the docs) so packing fills a real tokenizer budget.
     from webdedup.textstats import WS_TOKEN_RE
 
+    if n_tokens_col is not None:
+        n_tok = F.col(n_tokens_col).cast("long")
+    else:
+        n_tok = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(WS_TOKEN_RE), F.lit(0))
+        ).cast("long")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.pmod(F.xxhash64(id_col), F.lit(n_shards)).alias("shard"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WS_TOKEN_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")

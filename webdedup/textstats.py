@@ -10,6 +10,9 @@ O3) plus the training-data text-quality extras.
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from webdedup.joins import track_persist
@@ -569,4 +572,66 @@ def source_stats(
         F.col("n_unique").cast("long").alias("n_unique"),
         dup_rate.alias("dup_rate_ppm"),
         (dup_rate >= spam_threshold_ppm).alias("is_spam_source"),
+    )
+
+
+# ---- real BPE token counts (merge application, not just pretokens) ----
+
+#: committed merges fixture: classic-BPE trained on the deterministic
+#: synthetic corpus (see fixtures.train_bpe_merges). Production swaps in a
+#: real tokenizer's merges.txt (GPT-2 format: one "left right" pair per
+#: line, rank = line order) through the same loader.
+DEFAULT_BPE_MERGES = os.path.join(os.path.dirname(__file__), "data", "bpe_merges_synth.txt")
+
+
+def load_bpe_merges(path: str | None = None) -> list:
+    """GPT-2-format merges file → [(left, right), ...] in rank order.
+    Lines starting with '#' are headers; symbols are space-separated."""
+    out = []
+    with open(path or DEFAULT_BPE_MERGES, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            l, r = line.split(" ")
+            out.append((l, r))
+    return out
+
+
+def token_counts_bpe(
+    docs: DataFrame,
+    merges: list | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bpe_real): REAL byte-level BPE token counts — the merge
+    loop applied, not the pretoken upper bound of :func:`token_counts`.
+
+    Split of labor (100-TB shape): the PRETOKENIZER runs JVM-side
+    (``regexp_extract_all`` with the same BPE_PRETOKEN_RE as
+    ``n_bpe_tokens`` — merges never cross pretoken boundaries, GPT-2's
+    own contract), so the Arrow-batched pandas UDF only runs the merge
+    loop per distinct pretoken with a memo cache (Zipfian repetition
+    makes the cache hit rate high). Zero shuffles; scan → project.
+    ``merges`` defaults to the committed synthetic fixture.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from webdedup import kernels as K
+
+    ranks = K.bpe_ranks(merges if merges is not None else load_bpe_merges())
+
+    @pandas_udf(LongType())
+    def _count(pretoks: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series(
+            K.bpe_count_pretokens(pretoks.tolist(), ranks, cache), dtype="int64"
+        )
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _count(
+            F.regexp_extract_all(text_col, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+        ).alias("n_bpe_real"),
     )
