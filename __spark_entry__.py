@@ -436,6 +436,35 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_decontaminate_registry(spark, sf_dir):
+    """Multi-benchmark decontamination registry in ONE pass (VERDICT r4
+    ask #8): two derived eval suites with different n-gram sizes and
+    thresholds — suite 'evala' (every 13th doc, first token dropped,
+    5-grams, min_hits 1) and suite 'evalb' (every 29th doc verbatim,
+    3-grams, min_hits 2) — flagged over the WHOLE corpus with per-suite
+    hit columns from a single tagged broadcast union (one corpus pass,
+    plan-asserted in tests/test_scrub.py)."""
+    docs = _load(spark, sf_dir, "documents")
+    suite_a = docs.where(F.col("doc_id") % 13 == 0).select(
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text")
+    )
+    suite_b = docs.where(F.col("doc_id") % 29 == 0).select("text")
+    out = SCRUB.decontaminate_registry(
+        docs,
+        [
+            {"name": "evala", "benchmark": suite_a, "n": 5},
+            {"name": "evalb", "benchmark": suite_b, "n": 3, "min_hits": 2},
+        ],
+    )
+    return out.select(
+        "doc_id",
+        "evala_hits",
+        F.col("evala_contaminated").cast("long").alias("evala_contaminated"),
+        "evalb_hits",
+        F.col("evalb_contaminated").cast("long").alias("evalb_contaminated"),
+    )
+
+
 def q_token_counts_bpe(spark, sf_dir):
     """REAL byte-level BPE token counts under the committed 512-merge
     trained fixture (webdedup/data/bpe_merges_synth.txt): JVM
@@ -1057,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_decontaminate": q_near_decontaminate,
         "pack_sequences": q_pack_sequences,
         "token_counts_bpe": q_token_counts_bpe,
+        "decontaminate_registry": q_decontaminate_registry,
         "wet_ingest": q_wet_ingest,
         # full-fidelity SQL value oracles (crc32/wang32/splitmix64 in SQL)
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -1670,6 +1700,41 @@ FROM corpus c LEFT JOIN hits h USING (doc_id)
         # replays every merge as a rank-ordered replace chain (generated;
         # soundness argument in q_token_counts_bpe)
         "token_counts_bpe": _bpe_replace_chain_sql(),
+        # multi-suite registry: same derivations, gram STRINGS instead of
+        # the engine's xxhash64 keys (the established hash-free oracle
+        # face); per-suite occurrence counts + thresholds
+        "decontaminate_registry": """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+g5 AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN list_transform(
+          range(1, len(toks) - 3),
+          i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        ELSE [] END AS grams FROM t),
+g3 AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN list_transform(
+          range(1, len(toks) - 1),
+          i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        ELSE [] END AS grams FROM t),
+ta AS (SELECT string_split(substr(text, instr(text, ' ') + 1), ' ') AS toks
+       FROM documents WHERE doc_id % 13 = 0),
+ba AS (SELECT DISTINCT gram FROM (
+       SELECT unnest(CASE WHEN len(toks) >= 5 THEN list_transform(
+          range(1, len(toks) - 3),
+          i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+        ELSE [] END) AS gram FROM ta)),
+bb AS (SELECT DISTINCT gram FROM (
+       SELECT unnest(grams) AS gram FROM g3 WHERE doc_id % 29 = 0)),
+ha AS (SELECT doc_id, count(*) AS c FROM (
+       SELECT doc_id, unnest(grams) AS gram FROM g5) x
+       WHERE gram IN (SELECT gram FROM ba) GROUP BY doc_id),
+hb AS (SELECT doc_id, count(*) AS c FROM (
+       SELECT doc_id, unnest(grams) AS gram FROM g3) x
+       WHERE gram IN (SELECT gram FROM bb) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(coalesce(ha.c, 0) AS BIGINT) AS evala_hits,
+       CAST(CASE WHEN coalesce(ha.c, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS evala_contaminated,
+       CAST(coalesce(hb.c, 0) AS BIGINT) AS evalb_hits,
+       CAST(CASE WHEN coalesce(hb.c, 0) >= 2 THEN 1 ELSE 0 END AS BIGINT) AS evalb_contaminated
+FROM t LEFT JOIN ha USING (doc_id) LEFT JOIN hb USING (doc_id)
+""",
         # PII: identical injection + identical regexes (common
         # java.util.regex / RE2 subset), counts before replacement,
         # replacement order email -> ip -> phone in both engines

@@ -120,3 +120,84 @@ def test_semantic_dup_clusters_transitive_chain(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_incremental_semantic_matches_batch(spark, tmp_path, clustered_emb):
+    """Incremental == batch at FIXED centroids (VERDICT r4 ask #9): two
+    snapshots through the catalog-backed partial_fit face must produce
+    the same clusters as one batch semantic_dup_clusters run using the
+    SAME frozen centroids."""
+    from pyspark.sql import functions as F
+
+    dim, thr = 64, 9000
+    C = ann.train_ivf_centroids(clustered_emb, n_cells=16, seed=7)
+    batch = {
+        (r.vec_id, r.cluster_id)
+        for r in ann.semantic_dup_clusters(
+            clustered_emb, dim=dim, threshold_e4=thr, k=12, n_cells=16,
+            nprobe=4, centroids=C,
+        ).collect()
+    }
+
+    inc = ann.IncrementalSemanticDedup(
+        spark, str(tmp_path / "work"), dim=dim, threshold_e4=thr, k=12,
+        n_cells=16, nprobe=4, seed=7,
+    )
+    # plant the same frozen centroids the batch used
+    inc.work.append(
+        inc.CENTROIDS,
+        spark.createDataFrame(
+            [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+            "cell int, centroid array<double>",
+        ),
+    )
+    b1 = clustered_emb.where(F.col("vec_id") % 2 == 0)
+    b2 = clustered_emb.where(F.col("vec_id") % 2 == 1)
+    inc.process(b1, key="snap-1")
+    inc.process(b2, key="snap-2")
+    got = {(r.vec_id, r.cluster_id) for r in inc.clusters().collect()}
+    assert got == batch
+
+    # keyed replay: re-processing a snapshot adds nothing
+    n_edges = inc.work.read(spark, inc.SEM_EDGES).count()
+    inc.process(b2, key="snap-2")
+    assert inc.work.read(spark, inc.SEM_EDGES).count() == n_edges
+    assert {(r.vec_id, r.cluster_id) for r in inc.clusters().collect()} == batch
+
+
+def test_incremental_semantic_trains_once_and_freezes(spark, tmp_path, clustered_emb):
+    """First snapshot trains + persists centroids; later snapshots load the
+    FROZEN table (config stored in the same manifest commit)."""
+    from pyspark.sql import functions as F
+
+    # nprobe=12 (not the tight headline 4): centroids train on the FIRST
+    # snapshot only, so the second snapshot's groups are out of the
+    # training distribution and need probe headroom — this test gates the
+    # freeze semantics, recall-at-tight-nprobe is gated above
+    # threshold 8000, not the headline 9000: within-cluster cosines at
+    # sigma 0.04 range ~0.83-1.0 (vec 197's best peer is 0.888), so 9000
+    # would legitimately exclude unlucky members — this test gates the
+    # freeze semantics, not the threshold calibration
+    inc = ann.IncrementalSemanticDedup(
+        spark, str(tmp_path / "w2"), dim=64, threshold_e4=8000, k=12,
+        n_cells=16, nprobe=12, seed=7,
+    )
+    b1 = clustered_emb.where(F.col("vec_id") < 150)
+    inc.process(b1, key="s1")
+    c1 = inc._load_centroids()
+    assert c1.shape == (16, 64)
+    assert inc.work.meta(inc.CENTROIDS)["n_cells"] == 16
+    inc.process(clustered_emb.where(F.col("vec_id") >= 150), key="s2")
+    c2 = inc._load_centroids()
+    # frozen: the second snapshot did NOT retrain
+    assert np.array_equal(c1, c2)
+    # every vector is clustered; planted 10-vector groups resolve together
+    rows = inc.clusters().collect()
+    assert len(rows) == 300
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r.vec_id)
+    big = sorted(sorted(v) for v in by_cluster.values() if len(v) > 1)
+    # the 30 planted groups are vec_ids 10c..10c+9
+    planted = sorted(list(range(10 * c, 10 * c + 10)) for c in range(30))
+    assert big == planted

@@ -5,6 +5,8 @@ edge-case semantics and the physical plans (broadcast membership join,
 shuffle-free redaction).
 """
 
+import pytest
+
 from webdedup import scrub
 
 
@@ -157,3 +159,75 @@ def test_near_decontaminate_below_threshold_pair_excluded(spark):
         [(9, " ".join(words[:20]))], "doc_id long, text string"
     )
     assert near_decontaminate(docs, bench, DedupConfig(), 0.8).count() == 0
+
+
+def test_decontaminate_registry_per_suite_columns(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),        # hits suite_a (5-gram a..e etc.)
+            (2, "c d e x y z q r"),        # hits suite_b's 3-gram "c d e"? no - bench_b is u v w
+            (3, "u v w u v w u v w"),      # 3-gram "u v w" x3 -> suite_b min_hits 2
+            (4, "totally clean text here"),
+        ],
+    )
+    bench_a = _docs(spark, [(90, "a b c d e f")])      # 5-grams: "a b c d e","b c d e f"
+    bench_b = _docs(spark, [(91, "u v w")])            # 3-gram: "u v w"
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in scrub.decontaminate_registry(
+            corpus,
+            [
+                {"name": "suite_a", "benchmark": bench_a, "n": 5},
+                {"name": "suite_b", "benchmark": bench_b, "n": 3, "min_hits": 2},
+            ],
+        ).collect()
+    }
+    assert out[1]["suite_a_hits"] == 2 and out[1]["suite_a_contaminated"]
+    assert out[1]["suite_b_hits"] == 0 and not out[1]["suite_b_contaminated"]
+    # doc 3: "u v w" occurs at positions 1, 4, 7 -> 3 occurrence hits
+    assert out[3]["suite_b_hits"] == 3 and out[3]["suite_b_contaminated"]
+    assert out[3]["suite_a_hits"] == 0
+    # min_hits=2: a single suite_b hit is NOT contaminated
+    corpus2 = _docs(spark, [(5, "u v w only once here")])
+    (r5,) = scrub.decontaminate_registry(
+        corpus2, [{"name": "suite_b", "benchmark": bench_b, "n": 3, "min_hits": 2}]
+    ).collect()
+    assert r5["suite_b_hits"] == 1 and not r5["suite_b_contaminated"]
+    assert out[4]["suite_a_hits"] == 0 and out[4]["suite_b_hits"] == 0
+
+
+def test_decontaminate_registry_one_pass_plan(spark):
+    """The whole registry must be ONE broadcast union joined once — adding
+    a suite adds broadcast bytes, not corpus passes (VERDICT r4 ask #8)."""
+    corpus = _docs(spark, [(1, "a b c d e f g h"), (2, "x y z w v u t s")])
+    suites = [
+        {"name": "s1", "benchmark": _docs(spark, [(90, "a b c d e")]), "n": 5},
+        {"name": "s2", "benchmark": _docs(spark, [(91, "x y z")]), "n": 3},
+        {"name": "s3", "benchmark": _docs(spark, [(92, "q r s")]), "n": 3},
+    ]
+    plan = (
+        scrub.decontaminate_registry(corpus, suites)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one broadcast (the tagged suite union), used by one hash join
+    assert plan.count("BroadcastExchange") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    # the corpus gram table is persisted and reused, never recomputed per suite
+    assert "InMemoryTableScan" in plan
+
+
+def test_decontaminate_registry_validation(spark):
+    corpus = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        scrub.decontaminate_registry(corpus, [])
+    with pytest.raises(ValueError):
+        scrub.decontaminate_registry(
+            corpus,
+            [
+                {"name": "x", "benchmark": corpus, "n": 3},
+                {"name": "x", "benchmark": corpus, "n": 5},
+            ],
+        )

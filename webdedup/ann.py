@@ -81,6 +81,27 @@ def _kmeans_numpy(X: np.ndarray, k: int, iters: int = 10, seed: int = 42) -> np.
     return C
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_cells: int = 32,
+    col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer on a deterministic bounded sample
+    (FAISS's own pattern) → (n_cells, dim) unit centroids. Exposed so the
+    incremental face can train ONCE, persist the centroids, and assign
+    every later snapshot against the frozen cells."""
+    sample = [
+        r[0]
+        for r in emb.select(col)
+        .orderBy(F.xxhash64(F.col("vec_id")))
+        .limit(train_sample)
+        .collect()
+    ]
+    return _kmeans_numpy(np.array(sample, dtype=np.float64), n_cells, seed=seed)
+
+
 def ivf_topk(
     emb: DataFrame,
     dim: int,
@@ -90,6 +111,8 @@ def ivf_topk(
     col: str = "embedding",
     seed: int = 42,
     train_sample: int = 4096,
+    centroids: np.ndarray | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via an IVF (inverted-file) index.
 
@@ -106,15 +129,19 @@ def ivf_topk(
     Assignment/probing are Arrow-batched numpy matmuls (one (batch, dim) @
     (dim, n_cells) per batch); the candidate join + exact re-rank stay
     JVM-side.
+
+    ``centroids`` (frozen pre-trained cells) skips training — the
+    incremental partial_fit face. ``queries`` restricts the PROBING side
+    to a different frame (bipartite: e.g. only a new snapshot's vectors
+    query, while ``emb`` — the full store — is searched); self-pairs are
+    masked by id either way.
     """
-    sample = [
-        r[0]
-        for r in emb.select(col)
-        .orderBy(F.xxhash64(F.col("vec_id")))
-        .limit(train_sample)
-        .collect()
-    ]
-    C = _kmeans_numpy(np.array(sample, dtype=np.float64), n_cells, seed=seed)
+    if centroids is not None:
+        C = np.asarray(centroids, dtype=np.float64)
+    else:
+        C = train_ivf_centroids(
+            emb, n_cells=n_cells, col=col, seed=seed, train_sample=train_sample
+        )
     P = min(nprobe, C.shape[0])
 
     @pandas_udf(IntegerType())
@@ -134,7 +161,8 @@ def ivf_topk(
     data = emb.select(
         "vec_id", F.col(col).alias("_v"), assign_cell(F.col(col)).alias("cell")
     )
-    probes = emb.select(
+    qside = queries if queries is not None else emb
+    probes = qside.select(
         F.col("vec_id").alias("qid"),
         F.col(col).alias("_q"),
         F.explode(probe_cells(F.col(col))).alias("cell"),
@@ -268,6 +296,7 @@ def semantic_dup_clusters(
     n_cells: int = 32,
     nprobe: int = 8,
     col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style embedding near-duplicate clustering: IVF candidate
     pairs whose exact re-ranked cosine clears ``threshold_e4`` (floor of
@@ -288,7 +317,10 @@ def semantic_dup_clusters(
     """
     from webdedup.components import connected_components
 
-    cand = ivf_topk(emb, dim=dim, k=k, n_cells=n_cells, nprobe=nprobe, col=col)
+    cand = ivf_topk(
+        emb, dim=dim, k=k, n_cells=n_cells, nprobe=nprobe, col=col,
+        centroids=centroids,
+    )
     edges = (
         cand.where(F.col("cos_e4") >= int(threshold_e4))
         .select(
@@ -301,3 +333,142 @@ def semantic_dup_clusters(
     return connected_components(verts, edges).select(
         F.col("id").alias("vec_id"), "cluster_id"
     )
+
+
+class IncrementalSemanticDedup:
+    """Catalog-backed incremental SemDeDup: the IVF partial_fit face
+    (VERDICT r4 ask #9).
+
+    The batch :func:`semantic_dup_clusters` retrains its quantizer per
+    run; at 10^12 vectors the quantizer must be TRAINED ONCE and frozen —
+    every later snapshot assigns against the stored cells, mirroring the
+    text pipeline's new-touching-pairs property (incremental.py): a new
+    snapshot's vectors probe the frozen cells, re-rank exactly against
+    everything stored there (old AND new), and only new-touching edges
+    are appended. Old-old pairs are never recomputed — they were found
+    when "old" was new. CC re-resolves over the full (small, O(dups))
+    edge store.
+
+    State lives in a :class:`~webdedup.catalog.Catalog` under
+    ``<work_root>/semstore``:
+
+    * ``sem_centroids`` (cell, centroid) — written once, frozen; config
+      (dim, threshold, k, nprobe) committed in the same manifest swap.
+    * ``sem_vectors`` (vec_id, embedding, cell) — appended per snapshot.
+    * ``sem_edges`` (a, b) — appended per snapshot.
+
+    Equality contract: with the same frozen centroids, threshold, and k,
+    incremental clusters == batch clusters whenever each vector's
+    above-threshold neighborhood fits in ``k`` (the SemDeDup regime) —
+    batch finds pair (v, n) through BOTH vectors' probes while the
+    incremental path only has the later arrival's probe, so a k-capped
+    top-k can drop pairs the batch keeps if a vector has > k dups (the
+    clusters still usually agree via transitivity). Gated by
+    tests/test_ann.py::test_incremental_semantic_matches_batch.
+    """
+
+    CENTROIDS, VECTORS, SEM_EDGES = "sem_centroids", "sem_vectors", "sem_edges"
+
+    def __init__(
+        self,
+        spark,
+        work_root: str,
+        dim: int,
+        threshold_e4: int = 9000,
+        k: int = 5,
+        n_cells: int = 32,
+        nprobe: int = 8,
+        seed: int = 42,
+        col: str = "embedding",
+    ):
+        import os
+
+        from webdedup.catalog import Catalog
+
+        self.spark = spark
+        self.work = Catalog(os.path.join(work_root, "semstore"))
+        self.dim, self.threshold_e4, self.k = dim, int(threshold_e4), k
+        self.n_cells, self.nprobe, self.seed, self.col = n_cells, nprobe, seed, col
+
+    # ---- centroid store ----
+
+    def _load_centroids(self) -> np.ndarray:
+        rows = (
+            self.work.read(self.spark, self.CENTROIDS)
+            .orderBy("cell")
+            .collect()
+        )
+        return np.array([r.centroid for r in rows], dtype=np.float64)
+
+    def _ensure_centroids(self, emb: DataFrame) -> np.ndarray:
+        if self.work.exists(self.CENTROIDS):
+            return self._load_centroids()
+        C = train_ivf_centroids(
+            emb, n_cells=self.n_cells, col=self.col, seed=self.seed,
+            train_sample=4096,
+        )
+        cdf = self.spark.createDataFrame(
+            [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+            "cell int, centroid array<double>",
+        )
+        # config frozen in the same manifest swap as the centroids: a
+        # resumed run with different knobs must read the STORED ones
+        self.work.append(
+            self.CENTROIDS, cdf,
+            meta_update={
+                "dim": self.dim, "threshold_e4": self.threshold_e4,
+                "k": self.k, "n_cells": self.n_cells, "nprobe": self.nprobe,
+            },
+        )
+        return C
+
+    # ---- partial_fit ----
+
+    def process(self, new_emb: DataFrame, key: str | None = None) -> None:
+        """Ingest one snapshot of (vec_id, embedding) rows: assign against
+        frozen cells, find new-touching above-threshold pairs, append.
+        ``key`` makes the ingest idempotent (catalog keyed append)."""
+        if key is not None and self.work.has_key(self.VECTORS, key):
+            return  # replay: snapshot already ingested
+        C = self._ensure_centroids(new_emb)
+        new_v = new_emb.select("vec_id", F.col(self.col).alias("embedding"))
+        store = (
+            self.work.read(self.spark, self.VECTORS).select("vec_id", "embedding")
+            if self.work.exists(self.VECTORS)
+            else None
+        )
+        all_v = new_v if store is None else store.unionByName(new_v)
+        pairs = ivf_topk(
+            all_v, dim=self.dim, k=self.k, n_cells=self.n_cells,
+            nprobe=self.nprobe, col="embedding", centroids=C,
+            queries=new_v,
+        )
+        edges = (
+            pairs.where(F.col("cos_e4") >= self.threshold_e4)
+            .select(
+                F.least("vec_id", "nn_id").alias("a"),
+                F.greatest("vec_id", "nn_id").alias("b"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+        # materialize edges BEFORE appending vectors: the edge plan reads
+        # the vector store, and appending first would double-count
+        self.work.append(self.SEM_EDGES, edges, key=key)
+        self.work.append(self.VECTORS, new_v, key=key)
+
+    def clusters(self) -> DataFrame:
+        """(vec_id, cluster_id = min vec_id in component) over everything
+        ingested so far — identical shape to semantic_dup_clusters."""
+        from webdedup.components import connected_components
+
+        verts = self.work.read(self.spark, self.VECTORS).select(
+            F.col("vec_id").alias("id")
+        )
+        edges = (
+            self.work.read(self.spark, self.SEM_EDGES)
+            if self.work.exists(self.SEM_EDGES)
+            else self.spark.createDataFrame([], "a long, b long")
+        )
+        return connected_components(verts, edges.select("a", "b")).select(
+            F.col("id").alias("vec_id"), "cluster_id"
+        )
