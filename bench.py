@@ -36,7 +36,7 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_bench(sf_dir: str, cpus: int, reps: int = 3) -> dict:
+def run_bench(sf_dir: str, cpus: int, reps: int = 3, spark=None) -> dict:
     """Headline queries, ``reps`` interleaved repetitions, per-query MEDIANS.
 
     This host's wall-clock variance between identical runs is documented at
@@ -44,17 +44,29 @@ def run_bench(sf_dir: str, cpus: int, reps: int = 3) -> dict:
     not the engine (VERDICT r2: the recorded r2 artifact regressed while
     every at-scale measurement improved). Caches and tracked persists are
     dropped between reps so each rep does the full work.
+
+    ``spark``: share a caller-owned session (the caller stops it). The
+    default artifact run passes ONE session through every section —
+    per-section stop/start cycling tears down the PySpark accumulator
+    server socket while straggler task-completion events still deliver,
+    which spams benign-but-ugly `DAGScheduler: Failed to update
+    accumulator 0 (PythonAccumulatorV2) ... Broken pipe` stacks into the
+    artifact tail (VERDICT r4 ask #3 — single-session runs log zero).
     """
     import __spark_entry__ as E
     from webdedup.joins import release_persisted
     from webdedup.pipeline import dedup
     from webdedup.session import get_spark
 
-    spark = get_spark(
-        app_name=f"webdedup-bench-{cpus}",
-        cores=cpus,
-        shuffle_partitions=max(cpus, 16),
-    )
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            app_name=f"webdedup-bench-{cpus}",
+            cores=cpus,
+            shuffle_partitions=max(cpus, 16),
+        )
+    else:
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 16)))
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -114,7 +126,8 @@ def run_bench(sf_dir: str, cpus: int, reps: int = 3) -> dict:
         "n_docs": n_docs,
         "dedup_pages_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
     }
-    spark.stop()
+    if own_session:
+        spark.stop()
     return result
 
 
@@ -202,6 +215,7 @@ def run_corpus_bench(
     path: str | None = None,
     with_kneighbors: bool = True,
     label: str = "200k",
+    spark=None,
 ) -> dict:
     """Work-dominated corpus rows for the per-round artifact (VERDICT r3
     asks #7/#8): sf0.1's 5,000 docs are fixed-overhead-dominated, so
@@ -232,9 +246,16 @@ def run_corpus_bench(
     from webdedup.session import get_spark
 
     path = path or ensure_corpus()
-    spark = get_spark(
-        f"webdedup-{label}-{cpus}", cores=cpus, shuffle_partitions=max(2 * cpus, 16)
-    )
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(
+            f"webdedup-{label}-{cpus}", cores=cpus,
+            shuffle_partitions=max(2 * cpus, 16),
+        )
+    else:
+        # shared-session artifact run (see run_bench docstring): only the
+        # runtime-settable knob differs between sections
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(2 * cpus, 16)))
     spark.sparkContext.setLogLevel("ERROR")
     pages = spark.read.parquet(path)
     n = pages.count()
@@ -318,7 +339,8 @@ def run_corpus_bench(
 
     ded = med(timings["dedup"])
     spn, ndc = med(timings["span_dedup"]), med(timings["near_decon"])
-    spark.stop()
+    if own_session:
+        spark.stop()
     out = {
         "n_docs": n,
         "cpus": cpus,
@@ -567,26 +589,45 @@ if __name__ == "__main__":
         path = sys.argv[sys.argv.index("--dedup-pages") + 1]
         print(json.dumps(run_dedup_pages(path, CPUS)))
     else:
-        out = run_bench(SF_DIR, CPUS)
+        from webdedup.session import get_spark
+
+        want_200k = os.environ.get("WEBDEDUP_BENCH_200K", "1") != "0"
+        want_1m = os.environ.get("WEBDEDUP_BENCH_1M", "1") != "0"
+        # generate any missing corpus BEFORE the shared session exists (the
+        # generator uses its own short-lived 8-core session)
+        if want_200k:
+            ensure_corpus()
+        if want_1m:
+            ensure_corpus(BENCH_CORPUS_1M, BENCH_ROWS_1M)
+        # ONE session for every section: per-section stop/start cycling
+        # races straggler task completions against the Python accumulator
+        # server teardown and spams benign PythonAccumulatorV2 stacks into
+        # the artifact tail (VERDICT r4 ask #3)
+        shared = get_spark(
+            app_name=f"webdedup-bench-{CPUS}", cores=CPUS,
+            shuffle_partitions=max(CPUS, 16),
+        )
+        out = run_bench(SF_DIR, CPUS, spark=shared)
         # work-dominated scale rows (200k pages) in the same artifact;
         # WEBDEDUP_BENCH_200K=0 skips for a quick sf-only loop. Fail-soft:
         # the headline JSON line must survive a 200k-section failure.
-        if os.environ.get("WEBDEDUP_BENCH_200K", "1") != "0":
+        if want_200k:
             try:
-                out["corpus_200k"] = run_corpus_bench(CPUS)
+                out["corpus_200k"] = run_corpus_bench(CPUS, spark=shared)
             except Exception as e:  # noqa: BLE001
                 out["corpus_200k"] = {"error": str(e)[:500]}
         # 1M-page scale row (VERDICT r4 ask #1): dedup + span_dedup +
         # near_decon at 5× the 200k corpus — the superlinearity probe
         # (per-op walls vs linear from 200k, CC round count). Warmed
         # medians like the 200k section. WEBDEDUP_BENCH_1M=0 skips.
-        if os.environ.get("WEBDEDUP_BENCH_1M", "1") != "0":
+        if want_1m:
             try:
                 out["corpus_1m"] = run_corpus_bench(
                     CPUS,
                     reps=int(os.environ.get("WEBDEDUP_BENCH_1M_REPS", "2")),
-                    path=ensure_corpus(BENCH_CORPUS_1M, BENCH_ROWS_1M),
+                    path=BENCH_CORPUS_1M,
                     with_kneighbors=False, label="1m",
+                    spark=shared,
                 )
                 c2, c1 = out.get("corpus_200k", {}), out["corpus_1m"]
                 if "dedup_sec" in c2 and "dedup_sec" in c1:
@@ -597,4 +638,5 @@ if __name__ == "__main__":
                     }
             except Exception as e:  # noqa: BLE001
                 out["corpus_1m"] = {"error": str(e)[:500]}
+        shared.stop()
         print(json.dumps(out))
