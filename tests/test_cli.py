@@ -15,7 +15,7 @@ def docs_parquet(spark, tmp_path):
     spark.createDataFrame(
         [
             (0, "the quick brown fox jumps over the lazy dog again and again"),
-            (1, "reach me at alice@example.com or 555-1234 thanks"),
+            (1, "reach me at alice@example.com or 212-555-1234 thanks"),
             (2, "the quick brown fox jumps over the lazy dog again and again"),
         ],
         "doc_id long, text string",
@@ -182,3 +182,18 @@ def test_cli_dedup_from_wet_input(spark, tmp_path, capsys):
     clusters = spark.read.parquet(out_path)
     n_clusters = clusters.select("cluster_id").distinct().count()
     assert n_clusters == 2
+
+
+def test_cli_token_counts_bpe(spark, tmp_path, capsys, docs_parquet):
+    out_path = str(tmp_path / "out")
+    out = _run(capsys, ["--op", "token-counts-bpe", "--input", docs_parquet,
+                        "--output", out_path])
+    assert out["mode"] == "token-counts-bpe" and out["rows"] == 3
+    rows = {r.doc_id: r.n_bpe_real for r in spark.read.parquet(out_path).collect()}
+    # real merges compress below the byte count, never below the pretoken count
+    from webdedup.textstats import token_counts
+
+    tc = {r.doc_id: r for r in token_counts(
+        spark.read.parquet(docs_parquet)).collect()}
+    for d, n in rows.items():
+        assert tc[d].n_bpe_tokens <= n <= tc[d].n_bytes

@@ -105,13 +105,16 @@ def main(argv=None) -> int:
         "--op",
         default="dedup",
         choices=["dedup", "clean", "pii", "decontaminate", "near-decontaminate",
-                 "token-counts", "quality", "span-dedup", "sample",
-                 "source-stats"],
+                 "token-counts", "token-counts-bpe", "quality", "span-dedup",
+                 "sample", "source-stats"],
         help="operator to run over --input (all except dedup/clean need a "
         "doc_id column, or name yours with --id-col)",
     )
     ap.add_argument("--benchmark", help="eval-set parquet (decontaminate ops)")
     ap.add_argument("--ngram", type=int, default=8, help="n-gram size (decontaminate op)")
+    ap.add_argument("--bpe-merges", default=None,
+                    help="GPT-2-format merges.txt (token-counts-bpe op; "
+                    "default: the committed synthetic fixture)")
     ap.add_argument("--rate-ppm", type=int, default=None,
                     help="default keep rate in ppm (sample op)")
     ap.add_argument("--rates", default=None,
@@ -188,6 +191,9 @@ def main(argv=None) -> int:
             res_df = textstats.source_stats(docs)
         elif args.op == "token-counts":
             res_df = textstats.token_counts(docs)
+        elif args.op == "token-counts-bpe":
+            merges = textstats.load_bpe_merges(args.bpe_merges)
+            res_df = textstats.token_counts_bpe(docs, merges)
         elif args.op == "quality":
             res_df = textstats.quality_scores(docs)
         else:  # span-dedup
