@@ -588,32 +588,49 @@ if __name__ == "__main__":
     elif "--dedup-pages" in sys.argv:
         path = sys.argv[sys.argv.index("--dedup-pages") + 1]
         print(json.dumps(run_dedup_pages(path, CPUS)))
+    elif "--headline" in sys.argv:
+        print(json.dumps(run_bench(SF_DIR, CPUS)))
     else:
-        from webdedup.session import get_spark
+        # Artifact run: EACH SECTION IS ITS OWN SUBPROCESS (one Spark
+        # session per JVM). Two failure modes forced this shape, both
+        # measured (BASELINE.md r5):
+        # * per-section stop/start cycling INSIDE one process races
+        #   straggler task completions against the Python accumulator
+        #   server teardown — thousands of benign PythonAccumulatorV2 /
+        #   Broken pipe stacks in the artifact tail (VERDICT r4 ask #3);
+        # * ONE session across all sections accumulates localCheckpoint
+        #   blocks from every CC loop (clearCache does not free them) and
+        #   the 1M section then OOMs an 8g heap that runs it fine fresh.
+        # Child stdout can also carry JVM GC warnings — the parent keeps
+        # only the last JSON line, so the artifact line stays clean.
+        def _section(argv_extra: list, timeout: int = 3600) -> dict:
+            p = subprocess.run(
+                [sys.executable, __file__, *argv_extra],
+                env=dict(os.environ), capture_output=True, text=True,
+                timeout=timeout,
+            )
+            lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+            if p.returncode != 0 or not lines:
+                raise RuntimeError(
+                    f"section {argv_extra} rc={p.returncode}: "
+                    + (p.stderr[-800:] if p.stderr else "no output")
+                )
+            return json.loads(lines[-1])
 
         want_200k = os.environ.get("WEBDEDUP_BENCH_200K", "1") != "0"
         want_1m = os.environ.get("WEBDEDUP_BENCH_1M", "1") != "0"
-        # generate any missing corpus BEFORE the shared session exists (the
-        # generator uses its own short-lived 8-core session)
+        # generate any missing corpus up front (own short-lived session)
         if want_200k:
             ensure_corpus()
         if want_1m:
             ensure_corpus(BENCH_CORPUS_1M, BENCH_ROWS_1M)
-        # ONE session for every section: per-section stop/start cycling
-        # races straggler task completions against the Python accumulator
-        # server teardown and spams benign PythonAccumulatorV2 stacks into
-        # the artifact tail (VERDICT r4 ask #3)
-        shared = get_spark(
-            app_name=f"webdedup-bench-{CPUS}", cores=CPUS,
-            shuffle_partitions=max(CPUS, 16),
-        )
-        out = run_bench(SF_DIR, CPUS, spark=shared)
+        out = _section(["--headline"])
         # work-dominated scale rows (200k pages) in the same artifact;
         # WEBDEDUP_BENCH_200K=0 skips for a quick sf-only loop. Fail-soft:
-        # the headline JSON line must survive a 200k-section failure.
+        # the headline JSON line must survive a section failure.
         if want_200k:
             try:
-                out["corpus_200k"] = run_corpus_bench(CPUS, spark=shared)
+                out["corpus_200k"] = _section(["--corpus-bench"])
             except Exception as e:  # noqa: BLE001
                 out["corpus_200k"] = {"error": str(e)[:500]}
         # 1M-page scale row (VERDICT r4 ask #1): dedup + span_dedup +
@@ -622,13 +639,7 @@ if __name__ == "__main__":
         # medians like the 200k section. WEBDEDUP_BENCH_1M=0 skips.
         if want_1m:
             try:
-                out["corpus_1m"] = run_corpus_bench(
-                    CPUS,
-                    reps=int(os.environ.get("WEBDEDUP_BENCH_1M_REPS", "2")),
-                    path=BENCH_CORPUS_1M,
-                    with_kneighbors=False, label="1m",
-                    spark=shared,
-                )
+                out["corpus_1m"] = _section(["--corpus-1m"])
                 c2, c1 = out.get("corpus_200k", {}), out["corpus_1m"]
                 if "dedup_sec" in c2 and "dedup_sec" in c1:
                     scale = c1["n_docs"] / c2["n_docs"]
@@ -638,5 +649,4 @@ if __name__ == "__main__":
                     }
             except Exception as e:  # noqa: BLE001
                 out["corpus_1m"] = {"error": str(e)[:500]}
-        shared.stop()
         print(json.dumps(out))
