@@ -603,17 +603,22 @@ if __name__ == "__main__":
         #   the 1M section then OOMs an 8g heap that runs it fine fresh.
         # Child stdout can also carry JVM GC warnings — the parent keeps
         # only the last JSON line, so the artifact line stays clean.
-        def _section(argv_extra: list, timeout: int = 3600) -> dict:
+        def _section(argv_extra: list, timeout: int = 3600,
+                     env_extra: dict | None = None) -> dict:
+            env = dict(os.environ, **(env_extra or {}))
             p = subprocess.run(
                 [sys.executable, __file__, *argv_extra],
-                env=dict(os.environ), capture_output=True, text=True,
-                timeout=timeout,
+                env=env, capture_output=True, text=True, timeout=timeout,
             )
             lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
             if p.returncode != 0 or not lines:
+                # root cause first (the tail is usually mid-stack), then tail
+                err = p.stderr or ""
+                roots = [l for l in err.splitlines()
+                         if "ERROR" in l or "Error" in l or "Exception" in l]
                 raise RuntimeError(
                     f"section {argv_extra} rc={p.returncode}: "
-                    + (p.stderr[-800:] if p.stderr else "no output")
+                    + " | ".join(roots[:3])[:600] + " ... " + err[-400:]
                 )
             return json.loads(lines[-1])
 
@@ -639,7 +644,14 @@ if __name__ == "__main__":
         # medians like the 200k section. WEBDEDUP_BENCH_1M=0 skips.
         if want_1m:
             try:
-                out["corpus_1m"] = _section(["--corpus-1m"])
+                # 12g heap for the 1M child: 8g is borderline at this scale
+                # (the dedup count OOM'd once in-artifact while passing
+                # standalone) — the 8g-optimum measurement was at 200k
+                out["corpus_1m"] = _section(
+                    ["--corpus-1m"],
+                    env_extra={"WEBDEDUP_DRIVER_MEM": os.environ.get(
+                        "WEBDEDUP_DRIVER_MEM", "12g")},
+                )
                 c2, c1 = out.get("corpus_200k", {}), out["corpus_1m"]
                 if "dedup_sec" in c2 and "dedup_sec" in c1:
                     scale = c1["n_docs"] / c2["n_docs"]
