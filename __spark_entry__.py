@@ -555,12 +555,21 @@ def q_near_dup_pairs(spark, sf_dir):
 
 def q_lsh_candidate_pairs(spark, sf_dir):
     from webdedup import lsh
+    from webdedup.joins import track_persist
     from webdedup.signatures import featurize
 
-    docs = _load(spark, sf_dir, "documents")
+    from webdedup.joins import widen_if_narrow
+
+    docs = widen_if_narrow(_load(spark, sf_dir, "documents"))
     feat = featurize(docs.withColumnRenamed("doc_id", "_id").withColumn(
         "doc_id", F.col("_id")
     ), CFG)
+    # Persist the NARROW band projection: the band table feeds the
+    # hot-bucket census AND both sides of the candidate self-join — without
+    # the cache the featurize UDF (the expensive Arrow pass) runs three
+    # times (measured 7.4 s → 1.8 s at sf0.1). The pipeline proper already
+    # does this (pipeline.py stage 1); released by release_persisted().
+    feat = track_persist(feat.select("doc_id", "bands"))
     return lsh.candidate_pairs(feat, CFG)
 
 

@@ -1,16 +1,23 @@
-"""Connected-components unit tests on known graphs."""
+"""Connected-components unit tests on known graphs.
+
+Both execution paths are covered: the size-gated driver path (default at
+these edge counts) and the distributed loop (forced with
+collect_edge_limit=0).
+"""
 
 import pytest
 
 from webdedup.components import connected_components
 
 
-def cc(spark, n, edge_list, max_iter=25):
+def cc(spark, n, edge_list, max_iter=25, collect_edge_limit=None):
     verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
     edges = spark.createDataFrame(edge_list or [(0, 0)], "a long, b long")
     if not edge_list:
         edges = edges.limit(0)
-    out = connected_components(verts, edges, max_iter=max_iter)
+    out = connected_components(
+        verts, edges, max_iter=max_iter, collect_edge_limit=collect_edge_limit
+    )
     return {r["id"]: r["cluster_id"] for r in out.collect()}
 
 
@@ -46,9 +53,61 @@ def test_long_chain_converges_logarithmically(spark):
     assert all(v == 0 for v in got.values())
 
 
+def test_distributed_path_matches_driver_path(spark):
+    """The size-gated driver numpy path and the distributed loop must
+    produce identical labels on a mixed graph (chains, cliques, isolated
+    vertices, non-contiguous ids)."""
+    import random
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(i, i + 1) for i in range(0, 40)]  # one long chain
+    edges += [(a, b) for a in range(50, 60) for b in range(a + 1, 60)]  # clique
+    edges += [(rng.randrange(70, 190), rng.randrange(70, 190)) for _ in range(60)]
+    driver = cc(spark, n, edges)  # default gate → driver path
+    dist = cc(spark, n, edges, collect_edge_limit=0)  # forced loop
+    assert driver == dist
+
+
 def test_nonconvergence_warns_and_returns_partial(spark):
+    # the convergence cap only exists on the distributed loop — force it
     with pytest.warns(RuntimeWarning):
-        got = cc(spark, 12, [(i, i + 1) for i in range(11)], max_iter=1)
+        got = cc(
+            spark, 12, [(i, i + 1) for i in range(11)], max_iter=1,
+            collect_edge_limit=0,
+        )
     # partial labels: still a valid (over-split) clustering, every vertex labeled
     assert set(got) == set(range(12))
     assert all(got[i] <= i for i in range(12))
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_driver_path_pins_no_rdds(spark):
+    """Repeated CC calls (the bench/streaming pattern) must not accumulate
+    localCheckpoint blocks — the r5 1M-bench OOM root cause."""
+    base = _n_persistent_rdds(spark)
+    for _ in range(3):
+        cc(spark, 30, [(i, i + 1) for i in range(20)])
+    assert _n_persistent_rdds(spark) == base
+
+
+def test_distributed_path_releases_checkpoints_via_scope(spark):
+    """The distributed loop frees every intermediate round's blocks
+    in-loop and hands the final labels checkpoint to the active persist
+    scope: after release, the persisted-RDD count is back to baseline."""
+    from webdedup.joins import scoped_persists
+
+    base = _n_persistent_rdds(spark)
+    for _ in range(2):
+        with scoped_persists() as scope:
+            got = cc(spark, 30, [(i, i + 1) for i in range(20)],
+                     collect_edge_limit=0)
+            assert all(v == 0 for k, v in got.items() if k <= 20)
+        # loop intermediates freed in-loop: at most the final labels (and
+        # nothing growing per round) remains before release
+        assert _n_persistent_rdds(spark) <= base + 1
+        scope.release()
+        assert _n_persistent_rdds(spark) == base

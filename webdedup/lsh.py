@@ -22,22 +22,21 @@ def explode_bands(feat: DataFrame) -> DataFrame:
 
 
 def bucket_sizes_salted(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Per-(band, band_hash) member count via explicit two-phase salted agg.
+    """Per-(band, band_hash) member count as ONE two-phase hash aggregate.
 
-    North-rule requirement: hot buckets (boilerplate shingles shared by ~30%
-    of the web) concentrate a single (band, hash) key onto one reducer; the
-    salt spreads the partial counts over cfg.salt_buckets reducers before the
-    tiny final combine. (Spark's map-side partial aggregation usually covers
-    this; the explicit salt also defends against the many-distinct-keys-per-
-    mapper case where partial agg degrades.)
+    Hot buckets (boilerplate shingles shared by ~30% of the web) cannot
+    skew a COUNT: Spark's map-side partial aggregation emits at most one
+    partial row per mapper per key, so the reducer owning a hot key merges
+    |mappers| counters, not |members| rows — the partial agg IS the salt.
+    (An explicit (band, hash, salt) pre-aggregation — this function's r1-r5
+    shape — added a full extra exchange + AQE stage for a combine the map
+    side already performs; even under partial-agg hash-table overflow the
+    spill path still emits partial counts, never raw rows. Removed in r6:
+    one less shuffle per census at identical output.)
     """
-    s = cfg.salt_buckets
     return (
-        bucket_rows.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(s)))
-        .groupBy("band", "band_hash", "_salt")
-        .agg(F.count("*").alias("_c"))
-        .groupBy("band", "band_hash")
-        .agg(F.sum("_c").alias("bucket_size"))
+        bucket_rows.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
     )
 
 
@@ -59,8 +58,15 @@ def surviving_buckets(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
     return bucket_rows.join(F.broadcast(hot), ["band", "band_hash"], "left_anti")
 
 
-def candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    feat: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
     """Distinct (a, b) candidate doc-id pairs from MinHash LSH bands.
+
+    ``dedupe=False`` skips the trailing multi-band-collision collapse for
+    callers that union several candidate sources and dropDuplicates ONCE
+    over the union (the pipeline) — one less exchange, identical final
+    pair set.
 
     The equi-self-join on (band, band_hash) is the reference's collision
     lookup (inverseIndex.cpp:530-561) done set-at-a-time; a < b ordering
@@ -90,9 +96,8 @@ def candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .dropDuplicates(["a", "b"])
     )
-    return pairs
+    return pairs.dropDuplicates(["a", "b"]) if dedupe else pairs
 
 
 def _simhash_tables(t: int):
@@ -114,11 +119,14 @@ def _simhash_tables(t: int):
     return widths, starts, combos
 
 
-def simhash_candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
+def simhash_candidate_pairs(
+    feat: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
     """Distinct (a, b) pairs with SimHash hamming distance <= threshold.
 
     Candidates from block-triple key tables (see _simhash_tables), exact
     bit_count(xor) filter JVM-side (no Python in the hot path).
+    ``dedupe=False`` as in :func:`candidate_pairs`.
     """
     t = cfg.simhash_hamming_threshold
     widths, starts, combos = _simhash_tables(t)
@@ -152,7 +160,7 @@ def simhash_candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
     rows = rows.join(F.broadcast(hot), ["tbl", "key"], "left_anti")
     l, r = rows.alias("l"), rows.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.tbl") == F.col("r.tbl"))
@@ -163,5 +171,5 @@ def simhash_candidate_pairs(feat: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))) <= F.lit(t)
         )
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .dropDuplicates(["a", "b"])
     )
+    return out.dropDuplicates(["a", "b"]) if dedupe else out

@@ -197,11 +197,16 @@ def _dedup_impl(
     if os.environ.get("WEBDEDUP_PROFILE"):
         print(f"[profile] featurize: {time.perf_counter()-t0:.1f}s", flush=True)
 
-    # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks)
-    cand = lsh.candidate_pairs(feat, cfg)
+    # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks).
+    # Per-branch multi-band dedupe is skipped when the union below collapses
+    # everything anyway (dedupe once, not three times — two fewer exchanges)
+    cand = lsh.candidate_pairs(feat, cfg, dedupe=not cfg.use_simhash)
     probe("lsh_candidates", cand)
     if cfg.use_simhash:
-        sim = probe("simhash_candidates", lsh.simhash_candidate_pairs(feat, cfg))
+        sim = probe(
+            "simhash_candidates",
+            lsh.simhash_candidate_pairs(feat, cfg, dedupe=False),
+        )
         cand = cand.union(sim).dropDuplicates(["a", "b"])
 
     # ---- stage 3: exact Jaccard verify

@@ -43,6 +43,22 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             min_partition_size,
         )
+        # InferFiltersFromGenerate injects a size(<generator child>) > 0
+        # pre-filter whose condition RE-INLINES the generator's whole child
+        # expression tree; with higher-order-function children (the gram /
+        # block / simhash-key builders: transform + lambdas, which codegen
+        # cannot CSE) every array is built twice per row — and the filter's
+        # copy re-evaluates the inner split() per element, O(tokens²).
+        # Measured at sf0.1: explode of the gram arrays 3.8 s → 0.6 s,
+        # q_ngram_jaccard 6.2 s → 1.8 s, dedup e2e 8.4 s → 3.5 s. The rule
+        # only prunes rows that generate zero output (results identical);
+        # Spark made it excludable for exactly this regression class
+        # (SPARK-33544). The relative cost is scale-independent (it is
+        # per-row work), so this is a plan-shape fix, not a local tweak.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",

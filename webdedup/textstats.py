@@ -82,9 +82,16 @@ def exact_dup_pairs(docs: DataFrame) -> DataFrame:
 
 
 def ngram_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, gram) exploded distinct n-gram rows + (doc_id, n_grams) sizes."""
-    g = docs.select("doc_id", _ngrams(_tokens(), n).alias("gs"))
-    return g
+    """(doc_id, gs) distinct n-gram string arrays per doc.
+
+    The token array is materialized as its own projection BEFORE the
+    higher-order gram builder: an inline split(text) referenced from inside
+    the transform() lambda is re-evaluated per element (codegen CSE does not
+    reach into lambda bodies) — O(tokens²) per doc. Same fix as span_dedup;
+    measured here: the exploded-gram pass at sf0.1 dropped 6.6 s → 0.9 s.
+    """
+    t = docs.select("doc_id", _tokens().alias("_toks"))
+    return t.select("doc_id", _ngrams(F.col("_toks"), n).alias("gs"))
 
 
 def ngram_jaccard_pairs(
@@ -107,7 +114,15 @@ def ngram_jaccard_pairs(
     above the corpus size (or 0) to disable for exact-oracle use.
     """
     g = ngram_sets(docs, n)
-    rows = g.select("doc_id", F.explode("gs").alias("gram"))
+    # Shuffle 8-byte hashed gram ids, never the gram strings (guide:
+    # "shuffle keys, not payloads"): the census, the anti-join, and both
+    # sides of the self-join only ever DECIDE on gram identity — xxhash64
+    # identity is the repo-wide fingerprint convention (collision odds
+    # ~1e-8 even at 1e6 distinct grams; the near_dup_pairs face already
+    # rides 32-bit crc32 gram ids through its green oracle).
+    rows = g.select("doc_id", F.explode("gs").alias("_g")).select(
+        "doc_id", F.xxhash64("_g").alias("gram")
+    )
     if max_gram_freq and max_gram_freq > 0:
         # persist: the exploded gram rows feed the hot-count agg, the sizes
         # agg, and BOTH sides of the self-join — four gram-construction
