@@ -354,7 +354,8 @@ class IncrementalSemanticDedup:
 
     * ``sem_centroids`` (cell, centroid) — written once, frozen; config
       (dim, threshold, k, nprobe) committed in the same manifest swap.
-    * ``sem_vectors`` (vec_id, embedding, cell) — appended per snapshot.
+    * ``sem_vectors`` (vec_id, embedding) — appended per snapshot (cells
+      are recomputed from the frozen centroids at probe time).
     * ``sem_edges`` (a, b) — appended per snapshot.
 
     Equality contract: with the same frozen centroids, threshold, and k,
@@ -458,9 +459,12 @@ class IncrementalSemanticDedup:
 
     def clusters(self) -> DataFrame:
         """(vec_id, cluster_id = min vec_id in component) over everything
-        ingested so far — identical shape to semantic_dup_clusters."""
+        ingested so far — identical shape to semantic_dup_clusters; empty
+        frame (same schema) before the first process() call."""
         from webdedup.components import connected_components
 
+        if not self.work.exists(self.VECTORS):
+            return self.spark.createDataFrame([], "vec_id long, cluster_id long")
         verts = self.work.read(self.spark, self.VECTORS).select(
             F.col("vec_id").alias("id")
         )

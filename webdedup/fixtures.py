@@ -232,6 +232,16 @@ def train_bpe_merges(texts: list, n_merges: int = 256) -> list:
     words = Counter()
     for t in texts:
         words.update(t.split())
+    # ASCII-only training input (ADVICE r5): symbols are decoded back to
+    # str for the one-pair-per-line merges format, and a lone UTF-8
+    # continuation byte winning a merge would raise UnicodeDecodeError
+    # (and a space inside a symbol would corrupt the format). The trained
+    # fixture's corpus is ASCII by construction; enforce the contract.
+    non_ascii = [w for w in words if not w.isascii()]
+    if non_ascii:
+        raise ValueError(
+            f"train_bpe_merges needs ASCII training text; got {non_ascii[:3]!r}"
+        )
     # symbol sequences with frequencies
     vocab = {tuple(w.encode("utf-8")[i : i + 1] for i in range(len(w.encode("utf-8")))): c
              for w, c in words.items()}

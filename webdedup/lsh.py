@@ -119,16 +119,18 @@ def _simhash_tables(t: int):
     return widths, starts, combos
 
 
-def simhash_candidate_pairs(
-    feat: DataFrame, cfg: DedupConfig, dedupe: bool = True
-) -> DataFrame:
-    """Distinct (a, b) pairs with SimHash hamming distance <= threshold.
+#: per-process cache of the block-triple key Column for each hamming
+#: threshold: the expression is ~56 structs × shift arithmetic ≈ 800 py4j
+#: round-trips to build — a measurable driver-side cost per pipeline run.
+#: Column objects are immutable unresolved expressions bound to the
+#: process-wide JVM gateway, so reuse across queries/sessions is safe.
+_SIMHASH_KEYS_CACHE: dict = {}
 
-    Candidates from block-triple key tables (see _simhash_tables), exact
-    bit_count(xor) filter JVM-side (no Python in the hot path).
-    ``dedupe=False`` as in :func:`candidate_pairs`.
-    """
-    t = cfg.simhash_hamming_threshold
+
+def _simhash_key_col(t: int):
+    keys = _SIMHASH_KEYS_CACHE.get(t)
+    if keys is not None:
+        return keys
     widths, starts, combos = _simhash_tables(t)
 
     def block(i):
@@ -148,6 +150,21 @@ def simhash_candidate_pairs(
             for ci, (a, b, c) in enumerate(combos)
         ]
     )
+    _SIMHASH_KEYS_CACHE[t] = keys
+    return keys
+
+
+def simhash_candidate_pairs(
+    feat: DataFrame, cfg: DedupConfig, dedupe: bool = True
+) -> DataFrame:
+    """Distinct (a, b) pairs with SimHash hamming distance <= threshold.
+
+    Candidates from block-triple key tables (see _simhash_tables), exact
+    bit_count(xor) filter JVM-side (no Python in the hot path).
+    ``dedupe=False`` as in :func:`candidate_pairs`.
+    """
+    t = cfg.simhash_hamming_threshold
+    keys = _simhash_key_col(t)
     rows = feat.select("doc_id", "simhash").withColumn(
         "_k", F.explode(keys)
     ).select("doc_id", "simhash", F.col("_k.tbl").alias("tbl"), F.col("_k.key").alias("key"))

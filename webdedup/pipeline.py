@@ -218,9 +218,13 @@ def _dedup_impl(
 
     # ---- stage 4: exact-substring pass (optional)
     if cfg.use_substring_pass:
+        # texts come straight off the cached docs scan: candidate pair ids
+        # are rep ids by construction, so the (wider) docs table joins
+        # identically to uniq — and skips re-deriving the uniq semi-join
+        # once per text side (two broadcast joins per dedup run)
         sub = substring_pairs(
             feat, cfg, text_col=text_col, known_max=n_docs,
-            fps_col="substr_fps", texts_df=uniq,
+            fps_col="substr_fps", texts_df=docs,
         ).withColumn("kind", F.lit("substring"))
         probe("substring", sub)
         all_pairs = near.unionByName(sub).dropDuplicates(["a", "b"])

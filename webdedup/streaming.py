@@ -91,9 +91,15 @@ class StreamingDedup:
             # same-spelling keyed replay
             self.engine.process(self.table)
             return
+        # batches_processed counts GENUINELY INGESTED batches only (ADVICE
+        # r5): a same-spelling keyed replay (append returns the existing
+        # snapshot id, writes nothing) must not count, exactly like the
+        # legacy-key replay path above doesn't
+        replay = self.source.has_key(self.table, key)
         self.source.append(self.table, batch_df, key=key)
         self.engine.process(self.table)
-        self.batches_processed += 1
+        if not replay:
+            self.batches_processed += 1
 
     def start(
         self,

@@ -615,14 +615,31 @@ DEFAULT_BPE_MERGES = os.path.join(os.path.dirname(__file__), "data", "bpe_merges
 
 def load_bpe_merges(path: str | None = None) -> list:
     """GPT-2-format merges file → [(left, right), ...] in rank order.
-    Lines starting with '#' are headers; symbols are space-separated."""
+    Lines starting with '#' are headers; symbols are space-separated.
+
+    Scope guard (ADVICE r5): the merge kernel (kernels.bpe_ranks /
+    bpe_count_word) encodes symbols as raw UTF-8 bytes and starts from raw
+    pretoken bytes. A table written in GPT-2's bytes_to_unicode-mapped
+    alphabet ('Ġ' for space, remapped chars for bytes >= 0x80) would load
+    without error but silently never match — so non-ASCII symbols are
+    REJECTED here instead of producing wrong counts. Byte-mapped tables
+    need the bytes_to_unicode inverse applied before loading.
+    """
     out = []
     with open(path or DEFAULT_BPE_MERGES, encoding="utf-8") as f:
-        for line in f:
+        for i, line in enumerate(f):
             line = line.rstrip("\n")
             if not line or line.startswith("#"):
                 continue
             l, r = line.split(" ")
+            if not (l.isascii() and r.isascii()):
+                raise ValueError(
+                    f"merges line {i + 1}: non-ASCII symbol {(l, r)!r} — this "
+                    "loader takes raw-byte (ASCII) merge tables; a GPT-2 "
+                    "bytes_to_unicode-mapped merges.txt must be inverse-mapped "
+                    "to raw bytes first (the kernel matches raw UTF-8 bytes, "
+                    "so mapped symbols would silently never merge)"
+                )
             out.append((l, r))
     return out
 
