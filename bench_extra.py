@@ -174,8 +174,58 @@ def stage_lsh():
     spark.stop()
 
 
+def knn_corpus(path: str, reps: int = 2):
+    """kneighbors fast=False at an arbitrary corpus (the 1M scale row the
+    frozen bench.py skips — VERDICT r5 #4), same config + warmed-median
+    protocol as run_corpus_bench's 200k kneighbors op."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from webdedup.api import MinHashNeighbors
+    from webdedup.joins import release_persisted
+
+    spark = _spark()
+    pages = spark.read.parquet(path)
+    n = pages.count()
+    feats = pages.select(
+        F.xxhash64("url").alias("id"),
+        F.array_distinct(F.transform(F.split("text", " "), F.crc32)).alias(
+            "features"
+        ),
+    )
+
+    def _knn():
+        nn = MinHashNeighbors(
+            n_neighbors=3, number_of_hash_functions=32, max_bin_size=50,
+            fast=False, metric="jaccard",
+        ).fit(feats)
+        return nn.kneighbors().count()
+
+    _knn()  # untimed full-scale warmup (bench protocol)
+    spark.catalog.clearCache()
+    release_persisted()
+    walls = []
+    rows = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        rows = _knn()
+        walls.append(round(time.perf_counter() - t0, 2))
+        spark.catalog.clearCache()
+        release_persisted()
+    med = sorted(walls)[len(walls) // 2]
+    print(_json.dumps({
+        "metric": "kneighbors_corpus", "path": path, "n_docs": n,
+        "cpus": CPUS, "reps": reps, "kneighbors_sec": med,
+        "kneighbors_docs_per_sec": round(n / med, 1),
+        "rep_timings": walls, "edge_rows": rows,
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--profile-dedup" in sys.argv:
+    if "--knn-corpus" in sys.argv:
+        knn_corpus(sys.argv[sys.argv.index("--knn-corpus") + 1])
+    elif "--profile-dedup" in sys.argv:
         profile_dedup()
     elif "--stage-lsh" in sys.argv:
         stage_lsh()

