@@ -222,8 +222,90 @@ def knn_corpus(path: str, reps: int = 2):
     spark.stop()
 
 
+def synth_merges(n: int = 50_000, seed: int = 7) -> list:
+    """GPT-2-format synthetic merge table at real-vocab scale (~50k ranks,
+    the VERDICT r5 #3 datapoint): alphabet seeds + random composition of
+    already-created symbols — ASCII, space-free, kernel-valid. Not
+    rank-monotone-trained (only the DuckDB oracle needs that; the oracle
+    covers the committed 512-merge fixture, this table is perf-only)."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    merges, seen = [], set()
+    while len(merges) < n:
+        l = rng.choice(pool)
+        r = rng.choice(pool)
+        if len(l) + len(r) > 12 or (l, r) in seen:
+            continue
+        seen.add((l, r))
+        merges.append((l, r))
+        pool.append(l + r)
+    return merges
+
+
+def bpe_corpus(path: str, n_merges: int = 50_000, reps: int = 2):
+    """token_counts_bpe over the bench corpus with a ~real-vocab-size merge
+    table; noop sink (guide §1.4), warmed medians, cache-hit-rate probe."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from webdedup.textstats import token_counts_bpe
+    from webdedup import kernels as K
+
+    merges = synth_merges(n_merges)
+    spark = _spark()
+    docs = spark.read.parquet(path).select(
+        F.xxhash64("url").alias("doc_id"), "text"
+    )
+    n = docs.count()
+
+    def run():
+        token_counts_bpe(docs, merges=merges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    run()  # untimed warmup
+    walls = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        walls.append(round(time.perf_counter() - t0, 2))
+    med = sorted(walls)[len(walls) // 2]
+    # driver-side cache-hit probe on a 2k-doc sample (same kernel + cache)
+    ranks = K.bpe_ranks(merges)
+    sample = [r[0] for r in docs.select("text").limit(2000).collect()]
+    import re as _re
+
+    from webdedup.textstats import BPE_PRETOKEN_RE
+
+    jre = BPE_PRETOKEN_RE.replace(r"\p{L}", "[a-zA-Z]").replace(
+        r"\p{N}", "[0-9]"
+    )
+    cache: dict = {}
+    total = 0
+    for t in sample:
+        toks = _re.findall(jre, t)
+        total += len(toks)
+        K.bpe_count_pretokens([toks], ranks, cache)
+    print(_json.dumps({
+        "metric": "token_counts_bpe_real_vocab", "path": path, "n_docs": n,
+        "n_merges": n_merges, "cpus": CPUS, "reps": reps,
+        "sec": med, "pages_per_sec": round(n / med, 1),
+        "rep_timings": walls,
+        "cache_probe": {
+            "sample_docs": 2000, "pretokens": total,
+            "distinct_pretokens": len(cache),
+            "hit_rate": round(1 - len(cache) / max(total, 1), 4),
+        },
+    }))
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "--knn-corpus" in sys.argv:
+    if "--bpe-corpus" in sys.argv:
+        bpe_corpus(sys.argv[sys.argv.index("--bpe-corpus") + 1])
+    elif "--knn-corpus" in sys.argv:
         knn_corpus(sys.argv[sys.argv.index("--knn-corpus") + 1])
     elif "--profile-dedup" in sys.argv:
         profile_dedup()

