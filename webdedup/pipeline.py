@@ -188,14 +188,33 @@ def _dedup_impl(
     feat = featurize(
         uniq, cfg, text_col=text_col, with_substring_fps=True
     ).select(*feat_cols)
-    # materialize the cache NOW: the LSH / SimHash / verify / substring
-    # branches all consume feat inside one downstream job, and concurrently
-    # scheduled stages would otherwise race past the cold cache and re-run
-    # the featurize UDF once per branch
+    # materialize the cache BEFORE any downstream action: the LSH / SimHash
+    # / verify / substring branches all consume feat inside one downstream
+    # job, and concurrently scheduled stages would otherwise race past the
+    # cold cache and re-run the featurize UDF once per branch. The fill
+    # job runs on a background thread so the DRIVER-side construction of
+    # that downstream DAG (py4j chatter, ~1.3 s of idle driver time
+    # otherwise serialized behind the count) overlaps it (guide §2.6);
+    # everything until the join() below is lazy, so no action can race
+    # the cold cache. Profile mode counts per stage → stays sequential.
+    feat = track_persist(feat)
     t0 = time.perf_counter()
-    track_persist(feat).count()
+    fill_err: list = []
+    fill_thread = None
     if os.environ.get("WEBDEDUP_PROFILE"):
+        feat.count()
         print(f"[profile] featurize: {time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        from pyspark import InheritableThread
+
+        def _fill():
+            try:
+                feat.count()
+            except BaseException as e:  # noqa: BLE001 — re-raised at join
+                fill_err.append(e)
+
+        fill_thread = InheritableThread(target=_fill, daemon=True)
+        fill_thread.start()
 
     # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks).
     # Per-branch multi-band dedupe is skipped when the union below collapses
@@ -247,6 +266,12 @@ def _dedup_impl(
     probe("edges", edges)
 
     # ---- stage 6: connected components → cluster ids
+    # the feat cache MUST be materialized before CC triggers the first
+    # downstream action (see the fill-thread comment above)
+    if fill_thread is not None:
+        fill_thread.join()
+        if fill_err:
+            raise fill_err[0]
     t0 = time.perf_counter()
     vertices = docs.select(F.col("doc_id").alias("id"))
     labels = connected_components(vertices, edges.select("a", "b"))
