@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
 E4 = 10_000
 
@@ -158,15 +158,53 @@ def ivf_topk(
         top = np.argsort(-sim, axis=1)[:, :P].astype("int32")
         return pd.Series(list(top))
 
-    data = emb.select(
-        "vec_id", F.col(col).alias("_v"), assign_cell(F.col(col)).alias("cell")
+    _CELL_PROBE_SCHEMA = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("probes", ArrayType(IntegerType()), False),
+        ]
     )
-    qside = queries if queries is not None else emb
-    probes = qside.select(
-        F.col("vec_id").alias("qid"),
-        F.col(col).alias("_q"),
-        F.explode(probe_cells(F.col(col))).alias("cell"),
-    )
+
+    @pandas_udf(_CELL_PROBE_SCHEMA)
+    def assign_and_probe(v: pd.Series) -> pd.DataFrame:
+        # one X @ C.T serves BOTH faces; cell via argmax and probes via
+        # argsort exactly like the split UDFs (identical tie behavior)
+        X = np.array(list(v), dtype=np.float64)
+        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sim = X / nrm @ C.T
+        top = np.argsort(-sim, axis=1)[:, :P].astype("int32")
+        return pd.DataFrame(
+            {"cell": sim.argmax(axis=1).astype("int32"), "probes": list(top)}
+        )
+
+    if queries is None:
+        # self-query: the data and probe sides are the SAME vectors, so
+        # one fused Arrow pass (one matmul per vector) + a persist
+        # replaces two full UDF scans of the table; released by the
+        # caller via release_persisted()/scope (webdedup.joins).
+        from webdedup.joins import track_persist
+
+        both = track_persist(
+            emb.select(
+                "vec_id", F.col(col).alias("_v"),
+                assign_and_probe(F.col(col)).alias("_cp"),
+            )
+        )
+        data = both.select("vec_id", "_v", F.col("_cp.cell").alias("cell"))
+        probes = both.select(
+            F.col("vec_id").alias("qid"),
+            F.col("_v").alias("_q"),
+            F.explode("_cp.probes").alias("cell"),
+        )
+    else:
+        data = emb.select(
+            "vec_id", F.col(col).alias("_v"), assign_cell(F.col(col)).alias("cell")
+        )
+        probes = queries.select(
+            F.col("vec_id").alias("qid"),
+            F.col(col).alias("_q"),
+            F.explode(probe_cells(F.col(col))).alias("cell"),
+        )
 
     def _rerank(qdf: pd.DataFrame, ddf: pd.DataFrame) -> pd.DataFrame:
         # per-cell exact rerank as ONE numpy matmul (queries probing this
