@@ -128,7 +128,12 @@ _SIMHASH_KEYS_CACHE: dict = {}
 
 
 def _simhash_key_col(t: int):
-    keys = _SIMHASH_KEYS_CACHE.get(t)
+    # key by the live py4j gateway too: a (rare) full JVM restart in one
+    # Python process would otherwise serve a Column bound to a dead gateway
+    from pyspark import SparkContext
+
+    gw = id(getattr(SparkContext, "_gateway", None))
+    keys = _SIMHASH_KEYS_CACHE.get((gw, t))
     if keys is not None:
         return keys
     widths, starts, combos = _simhash_tables(t)
@@ -150,7 +155,7 @@ def _simhash_key_col(t: int):
             for ci, (a, b, c) in enumerate(combos)
         ]
     )
-    _SIMHASH_KEYS_CACHE[t] = keys
+    _SIMHASH_KEYS_CACHE[(gw, t)] = keys
     return keys
 
 
