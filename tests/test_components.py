@@ -99,6 +99,43 @@ def test_reliable_checkpoint_matches(spark, tmp_path):
     assert os.path.isdir(reliable_dir)  # checkpoints actually went there
 
 
+def test_reliable_checkpoint_files_freed(spark, tmp_path):
+    """Superseded rounds' reliable-checkpoint rdd-* directories are
+    deleted in-loop, and the final labels checkpoint's files go with the
+    persist scope — a long-lived session (streaming/incremental) must not
+    grow one directory per CC round until the checkpoint volume fills."""
+    import os
+
+    from webdedup.joins import scoped_persists
+
+    reliable_dir = str(tmp_path / "cc_ckpt")
+    verts = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)] + [(40, 41), (41, 45)],
+        "a long, b long",
+    )
+
+    def rdd_dirs():
+        return [
+            os.path.join(r, d)
+            for r, dirs, _ in os.walk(reliable_dir)
+            for d in dirs
+            if d.startswith("rdd-")
+        ]
+
+    with scoped_persists() as scope:
+        out = connected_components(
+            verts, e, collect_edge_limit=0, checkpoint_dir=reliable_dir
+        )
+        labels = {r["id"]: r["cluster_id"] for r in out.collect()}
+        assert labels[5] == 0
+        # sym + seed + every superseded round freed in-loop: only the
+        # FINAL labels checkpoint may still own files before release
+        assert len(rdd_dirs()) <= 1
+    scope.release()
+    assert rdd_dirs() == []
+
+
 def _n_persistent_rdds(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 

@@ -190,6 +190,13 @@ def ivf_topk(
                 assign_and_probe(F.col(col)).alias("_cp"),
             )
         )
+        # fill the cache BEFORE the cogroup consumes it twice: its data-
+        # and probes-side shuffle-map stages are submitted concurrently,
+        # and tasks racing a cold cache re-run the UDF per side (block-
+        # level dedup is per-BlockManager — on a cluster the fusion would
+        # silently degrade back to two full passes; same pathology the
+        # dedup pipeline's eager feat fill guards against)
+        both.count()
         data = both.select("vec_id", "_v", F.col("_cp.cell").alias("cell"))
         probes = both.select(
             F.col("vec_id").alias("qid"),

@@ -500,6 +500,13 @@ class MinHashNeighbors:
         instead of demand-memoized), then exact round-2 re-rank to top k
         (Q9, :326-382). Disable the expansion with
         ``neighbor_of_neighbor=False``.
+
+        fast=False persists the round-1 edge table into the CALLER's
+        persist scope (it feeds three downstream subtrees); a loop issuing
+        many kneighbors calls outside any ``scoped_persists`` block should
+        release between materialized results (``release_persisted()``, or
+        wrap each call in its own scope) or the default scope accumulates
+        one cached edge table per call.
         """
         if self._fitted is None:
             raise RuntimeError("fit first")

@@ -74,20 +74,36 @@ LAST_STATS = _ThreadLocalStats()
 
 
 def _free_ckpt(df: DataFrame) -> None:
-    """Release a localCheckpoint'ed frame's RDD blocks NOW.
+    """Release a checkpointed frame's RDD blocks (and files) NOW.
 
     ``spark.catalog.clearCache()``/``DataFrame.unpersist()`` cannot reach
     them (they belong to the checkpoint RDD, not the CacheManager), and
     waiting for the ContextCleaner needs a driver GC cycle that may come
-    only after the heap is already full. Only call once nothing will ever
-    re-materialize a plan derived from ``df`` (the blocks ARE the
-    truncated lineage — a later action would raise
-    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, not recompute).
+    only after the heap is already full. In RELIABLE-checkpoint mode
+    (``checkpoint_dir``) each round additionally owns an ``rdd-N``
+    directory under the checkpoint dir that Spark never deletes by
+    default (``spark.cleaner.referenceTracking.cleanCheckpoints`` is off
+    and GC-timed anyway) — a long-lived session would otherwise grow one
+    directory per CC round until the volume fills, so the files are
+    deleted here too. Only call once nothing will ever re-materialize a
+    plan derived from ``df`` (the blocks/files ARE the truncated lineage —
+    a later action would raise CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND or a
+    missing-file error, not recompute).
     """
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        rdd = df._jdf.queryExecution().analyzed().rdd()
+        rdd.unpersist(False)
     except Exception:
-        pass  # session gone / plan shape changed — best-effort
+        return  # session gone / plan shape changed — best-effort
+    try:
+        f = rdd.getCheckpointFile()  # scala Option; empty for localCheckpoint
+        if f is not None and f.isDefined():
+            sc = df.sparkSession.sparkContext
+            p = sc._jvm.org.apache.hadoop.fs.Path(f.get())
+            fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+            fs.delete(p, True)
+    except Exception:
+        pass  # non-RDD plan / fs unreachable — best-effort
 
 
 def _driver_labels(sym_pdf):

@@ -29,7 +29,6 @@ class DedupConfig:
                                           # run >= window+k-1 = 159 bytes fingerprints
                                           # (whole-page embeds; ~3x sparser than k=48/w=32)
     min_tokens: int = 1                   # drop empty docs
-    salt_buckets: int = 8                 # salting fan-out for hot (band,hash) keys
     broadcast_id_limit: int = 2_000_000   # max id-set size for broadcast semi-joins
                                           # (webdedup.joins); above it the join
                                           # degrades to a shuffle instead of OOMing

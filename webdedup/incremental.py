@@ -320,7 +320,7 @@ class IncrementalDedup:
         """LSH + SimHash candidate pairs with >= 1 new-doc side.
 
         Join new band rows against all band rows (both orientations folded
-        into a < b), with the same hot-bucket tombstone + salting as the
+        into a < b), with the same hot-bucket tombstone census as the
         batch path.
         """
         rows_all = lsh.explode_bands(feat_all)

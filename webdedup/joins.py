@@ -39,9 +39,14 @@ class PersistScope:
     """Frames persisted by one pipeline run, released together.
 
     ``release()`` must only be called once every result derived from the
-    scoped caches has been fully materialized (outputs written / collected)
-    — a lazy frame consumed afterwards recomputes instead of reading the
-    cache (correct, just slower).
+    scoped caches has been fully materialized (outputs written / collected).
+    For plain persisted frames a lazy frame consumed afterwards merely
+    recomputes instead of reading the cache (correct, just slower) — but a
+    scope can also hold ``add_callback`` release actions that free
+    checkpoint blocks/files (connected-components labels), and a frame
+    whose lineage such a callback truncates CANNOT be re-materialized
+    after release (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), so the
+    materialize-before-release rule is a hard contract, not a perf hint.
     """
 
     def __init__(self):

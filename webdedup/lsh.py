@@ -1,4 +1,4 @@
-"""LSH banding, salted bucket counting, hot-bucket kill, candidate pairs.
+"""LSH banding, bucket counting, hot-bucket kill, candidate pairs.
 
 Spark re-expression of the reference's inverse index build + collision query
 (InverseIndex::fit, inverseIndex.cpp:430-499; InverseIndex::kneighbors
@@ -21,7 +21,7 @@ def explode_bands(feat: DataFrame) -> DataFrame:
     )
 
 
-def bucket_sizes_salted(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
+def bucket_sizes(bucket_rows: DataFrame) -> DataFrame:
     """Per-(band, band_hash) member count as ONE two-phase hash aggregate.
 
     Hot buckets (boilerplate shingles shared by ~30% of the web) cannot
@@ -29,10 +29,12 @@ def bucket_sizes_salted(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
     partial row per mapper per key, so the reducer owning a hot key merges
     |mappers| counters, not |members| rows — the partial agg IS the salt.
     (An explicit (band, hash, salt) pre-aggregation — this function's r1-r5
-    shape — added a full extra exchange + AQE stage for a combine the map
-    side already performs; even under partial-agg hash-table overflow the
-    spill path still emits partial counts, never raw rows. Removed in r6:
-    one less shuffle per census at identical output.)
+    shape, then named ``bucket_sizes_salted`` with a ``cfg.salt_buckets``
+    fan-out knob — added a full extra exchange + AQE stage for a combine
+    the map side already performs; even under partial-agg hash-table
+    overflow the spill path still emits partial counts, never raw rows.
+    Removed in r6: one less shuffle per census at identical output, and
+    the explicit salt knob went with it.)
     """
     return (
         bucket_rows.groupBy("band", "band_hash")
@@ -51,7 +53,7 @@ def surviving_buckets(bucket_rows: DataFrame, cfg: DedupConfig) -> DataFrame:
     self-join matches (the reference's prune(), :162-187, falls out free).
     """
     hot = (
-        bucket_sizes_salted(bucket_rows, cfg)
+        bucket_sizes(bucket_rows)
         .where(F.col("bucket_size") >= F.lit(cfg.max_bin_size))
         .select("band", "band_hash")
     )
@@ -124,18 +126,26 @@ def _simhash_tables(t: int):
 #: round-trips to build — a measurable driver-side cost per pipeline run.
 #: Column objects are immutable unresolved expressions bound to the
 #: process-wide JVM gateway, so reuse across queries/sessions is safe.
+#: Entries are (gateway_weakref, keys) per threshold: a (rare) full JVM
+#: restart in one Python process must not serve a Column bound to the dead
+#: gateway, and identity is validated through a WEAK reference — keying by
+#: ``id(gateway)`` would be unsound because a GC'd gateway's id can be
+#: reused by its replacement object.
 _SIMHASH_KEYS_CACHE: dict = {}
 
 
 def _simhash_key_col(t: int):
-    # key by the live py4j gateway too: a (rare) full JVM restart in one
-    # Python process would otherwise serve a Column bound to a dead gateway
+    import weakref
+
     from pyspark import SparkContext
 
-    gw = id(getattr(SparkContext, "_gateway", None))
-    keys = _SIMHASH_KEYS_CACHE.get((gw, t))
-    if keys is not None:
-        return keys
+    gw = getattr(SparkContext, "_gateway", None)
+    entry = _SIMHASH_KEYS_CACHE.get(t)
+    if entry is not None:
+        ref, keys = entry
+        live = ref() if ref is not None else None
+        if gw is not None and live is gw:
+            return keys
     widths, starts, combos = _simhash_tables(t)
 
     def block(i):
@@ -155,7 +165,11 @@ def _simhash_key_col(t: int):
             for ci, (a, b, c) in enumerate(combos)
         ]
     )
-    _SIMHASH_KEYS_CACHE[(gw, t)] = keys
+    if gw is not None:
+        try:
+            _SIMHASH_KEYS_CACHE[t] = (weakref.ref(gw), keys)
+        except TypeError:
+            pass  # gateway type not weakref-able: skip caching, stay correct
     return keys
 
 

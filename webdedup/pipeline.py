@@ -194,9 +194,14 @@ def _dedup_impl(
     # cold cache and re-run the featurize UDF once per branch. The fill
     # job runs on a background thread so the DRIVER-side construction of
     # that downstream DAG (py4j chatter, ~1.3 s of idle driver time
-    # otherwise serialized behind the count) overlaps it (guide §2.6);
-    # everything until the join() below is lazy, so no action can race
-    # the cold cache. Profile mode counts per stage → stays sequential.
+    # otherwise serialized behind the count) overlaps it (guide §2.6).
+    # Everything until the join point is lazy ONLY below the broadcast
+    # gate: above cfg.broadcast_id_limit the verify/substring stages run
+    # eager semi-join gating counts (webdedup.joins), so there the thread
+    # is joined BEFORE stage 3 — the overlap win is forfeited exactly
+    # where gating job barriers already serialize the DAG, and no eager
+    # action can ever scan the still-cold feat cache concurrently with
+    # the fill. Profile mode counts per stage → stays sequential.
     feat = track_persist(feat)
     t0 = time.perf_counter()
     fill_err: list = []
@@ -215,6 +220,17 @@ def _dedup_impl(
 
         fill_thread = InheritableThread(target=_fill, daemon=True)
         fill_thread.start()
+
+    def _join_fill():
+        nonlocal fill_thread
+        if fill_thread is not None:
+            fill_thread.join()
+            fill_thread = None
+            if fill_err:
+                raise fill_err[0]
+
+    if n_docs > cfg.broadcast_id_limit:
+        _join_fill()
 
     # ---- stage 2: candidate pairs (MinHash LSH bands + SimHash blocks).
     # Per-branch multi-band dedupe is skipped when the union below collapses
@@ -268,10 +284,7 @@ def _dedup_impl(
     # ---- stage 6: connected components → cluster ids
     # the feat cache MUST be materialized before CC triggers the first
     # downstream action (see the fill-thread comment above)
-    if fill_thread is not None:
-        fill_thread.join()
-        if fill_err:
-            raise fill_err[0]
+    _join_fill()
     t0 = time.perf_counter()
     vertices = docs.select(F.col("doc_id").alias("id"))
     labels = connected_components(vertices, edges.select("a", "b"))
